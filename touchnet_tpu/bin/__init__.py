@@ -1,0 +1,154 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Entry-point configurations.
+#
+# Capability parity: reference touchnet/bin/__init__.py:7-711 (MakeDataConfig,
+# TrainConfig, CkptConverterConfig) — field names preserved so reference
+# recipes translate 1:1. Semantics are re-targeted at the TPU stack where the
+# original meaning was CUDA-specific (noted per-field).
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class MakeDataConfig:
+    """Options for converting raw jsonl data into TouchDataset shards."""
+
+    save_dir: str = field(default="./exp")
+    jsonl_path: Optional[str] = field(default=None)
+    num_utt_per_shard: int = field(default=1000)
+    audio_resample: int = field(default=16000)
+    num_workers: int = field(default=10)
+    datatypes: str = field(
+        default="audio+metainfo",
+        metadata={"help": "metainfo | audio+metainfo | audio | audiotoken | texttoken"},
+    )
+
+
+@dataclass
+class TrainConfig:
+    """Every knob of the training binary (flat namespace, prefix conventions)."""
+
+    # --- model / job ---
+    training_model_name: str = field(
+        default="llama",
+        metadata={"help": "llama | touch_audio | qwen2_audio | kimi_audio"},
+    )
+    training_model_config_path: Optional[str] = field(
+        default=None, metadata={"help": "HF-style model config JSON"}
+    )
+    training_description: str = field(default="default job")
+    training_print_args: bool = field(default=False)
+    # --- logging / observability ---
+    training_log_freq: int = field(default=100)
+    training_enable_wandb: bool = field(default=False)
+    training_enable_tensorboard: bool = field(default=False)
+    training_save_tb_folder: str = field(default="tensorboard")
+    training_tb_rank_0_only: bool = field(default=True)
+    training_trace_buf_size: int = field(
+        default=20000,
+        metadata={"help": "TPU: XLA debug dump cap (reference: NCCL flight-recorder buffer)"},
+    )
+    training_trace_dump_folder: str = field(default="./exp")
+    training_init_timeout_seconds: int = field(default=300)
+    training_train_timeout_seconds: int = field(default=100)
+    # --- numerics / compile ---
+    training_mixed_precision_param: str = field(
+        default="bfloat16", metadata={"help": "compute dtype; master params stay float32"}
+    )
+    training_mixed_precision_reduce: str = field(
+        default="float32", metadata={"help": "gradient reduction dtype"}
+    )
+    training_compile: bool = field(
+        default=True, metadata={"help": "TPU: everything runs under jax.jit; kept for parity"}
+    )
+    training_enable_compiled_autograd: bool = field(default=False)
+    training_enable_liger_kernel: bool = field(
+        default=False,
+        metadata={"help": "TPU: enable fused Pallas cross-entropy (liger equivalent)"},
+    )
+    training_gc_freq: int = field(default=50)
+    training_seed: int = field(default=2025)
+    training_deterministic: bool = field(default=False)
+    training_max_norm: float = field(default=1.0)
+    training_enable_cpu_offload: bool = field(
+        default=False, metadata={"help": "TPU: host-offload optimizer state (pinned_host)"}
+    )
+    # --- activation checkpointing ---
+    training_activation_checkpoint_mode: str = field(
+        default="selective", metadata={"help": "none | full | selective"}
+    )
+    training_activation_checkpoint_selective_ac_option: str = field(
+        default="2", metadata={"help": "int k = remat every k-th layer, or 'op'"}
+    )
+    # --- parallelism degrees ---
+    training_data_parallel_replicate_degree: int = field(default=1)
+    training_data_parallel_shard_degree: int = field(
+        default=-1, metadata={"help": "-1 = autofill leftover devices (FSDP axis)"}
+    )
+    training_tensor_parallel_degree: int = field(default=1)
+    training_context_parallel_degree: int = field(default=1)
+    training_context_parallel_rotate_method: str = field(
+        default="allgather", metadata={"help": "allgather | alltoall (ring)"}
+    )
+    training_enable_loss_parallel: bool = field(default=False)
+    training_enable_async_tensor_parallel: bool = field(
+        default=False,
+        metadata={"help": "TPU: latency-hiding collective-matmul overlap (XLA flag)"},
+    )
+    training_pipeline_parallel_degree: int = field(default=1)
+    training_pipeline_parallel_split_points: Optional[str] = field(default=None)
+    training_pipeline_parallel_schedule: str = field(default="1F1B")
+    training_pipeline_parallel_schedule_csv: Optional[str] = field(default=None)
+    training_pipeline_parallel_microbatches: Optional[int] = field(default=None)
+    training_fsdp_reshard_after_forward: str = field(
+        default="default", metadata={"help": "default | always | never"}
+    )
+    # --- profiling ---
+    training_enable_profiling: bool = field(default=False)
+    training_profiling_traces_folder: str = field(default="profile_traces")
+    training_profiling_freq: int = field(default=10)
+    training_profiling_keep_first_k: int = field(default=10)
+    training_enable_memory_snapshot: bool = field(default=False)
+    training_memory_snapshot_folder: str = field(default="memory_snapshot")
+    # --- checkpoint ---
+    training_enable_ckpt: bool = field(default=False)
+    training_ckpt_async_mode: str = field(
+        default="disabled", metadata={"help": "disabled | async (Orbax background save)"}
+    )
+    training_ckpt_folder: str = field(default="checkpoint")
+    training_ckpt_interval: int = field(default=500)
+    training_ckpt_keep_latest_k: int = field(default=10)
+    training_ckpt_model_weights_only: bool = field(default=False)
+    training_ckpt_export_dtype: str = field(default="float32")
+    training_ckpt_exclude_from_loading: str = field(default="")
+    training_ckpt_load_step: int = field(default=-1)
+    # --- optimizer / schedule ---
+    optimizer_name: str = field(default="AdamW", metadata={"help": "AdamW | Adam"})
+    optimizer_lr: float = field(default=8e-4)
+    optimizer_eps: float = field(default=1e-8)
+    optimizer_impl: str = field(
+        default="fused", metadata={"help": "TPU: optax is XLA-fused; kept for parity"}
+    )
+    lr_scheduler_steps: int = field(default=10000)
+    lr_scheduler_warmup_steps: int = field(default=200)
+    lr_scheduler_decay_ratio: Optional[float] = field(default=None)
+    lr_scheduler_decay_type: str = field(default="linear", metadata={"help": "linear|sqrt|cosine"})
+    lr_scheduler_lr_min: float = field(default=0.0)
+
+
+@dataclass
+class CkptConverterConfig:
+    """HF <-> distributed (Orbax) checkpoint converter options."""
+
+    ckpt_dir: Optional[str] = field(default=None, metadata={"help": "experiment ckpt dir"})
+    tmp_dir: str = field(default="/tmp")
+    training_model_config_path: Optional[str] = field(default=None)
+    model_type: str = field(
+        default="causal_lm",
+        metadata={"help": "causal_lm | touch_audio | qwen2_audio | kimi_audio"},
+    )
+    config: Optional[str] = field(default=None)
+    step: Optional[int] = field(default=None)
+    tokenizer_model: Optional[str] = field(default=None)
+    huggingface_model: Optional[str] = field(default=None)
