@@ -5,12 +5,15 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# NOTE: the axon environment preloads jax at interpreter startup (an `axon`
+# module is injected via .pth), so env vars set here are too late — use
+# jax.config, which works as long as no backend has been initialized yet.
+os.environ.setdefault("TOUCHNET_TEST_DEVICES", "8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", int(os.environ["TOUCHNET_TEST_DEVICES"]))
 
 import pytest  # noqa: E402
 

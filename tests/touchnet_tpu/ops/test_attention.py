@@ -1,0 +1,104 @@
+# Packed-document flash attention: Pallas kernel (interpret mode on CPU)
+# vs the dense XLA reference, forward and backward, incl. GQA and padding.
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.ops.attention import (
+    flash_attention,
+    packed_attention_reference,
+)
+
+
+def make_inputs(key, B=2, T=256, H=4, Hkv=4, D=64, packed=True, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    q = jax.random.normal(ks[0], (B, T, H, D), dtype)
+    k = jax.random.normal(ks[1], (B, T, Hkv, D), dtype)
+    v = jax.random.normal(ks[2], (B, T, Hkv, D), dtype)
+    if packed:
+        # 3 documents + trailing padding per row
+        seg = np.zeros((B, T), dtype=np.int32)
+        for b in range(B):
+            bounds = sorted(
+                np.random.default_rng(b).choice(np.arange(8, T - 8), 2, replace=False)
+            )
+            seg[b, : bounds[0]] = 1
+            seg[b, bounds[0] : bounds[1]] = 2
+            seg[b, bounds[1] : T - 5] = 3  # last 5 positions are padding (0)
+        seg = jnp.asarray(seg)
+    else:
+        seg = None
+    return q, k, v, seg
+
+
+@pytest.mark.parametrize("packed", [False, True])
+@pytest.mark.parametrize("causal", [True, False])
+def test_forward_matches_reference(packed, causal):
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(0), packed=packed)
+    want = packed_attention_reference(q, k, v, seg, causal=causal)
+    got = flash_attention(
+        q, k, v, seg, causal=causal, block_q=128, block_kv=128,
+        use_pallas=True, interpret=True,
+    )
+    mask = None
+    if seg is not None:  # padding rows emit zeros from the kernel; skip them
+        mask = (seg != 0)[..., None, None]
+        want = jnp.where(mask, want, 0.0)
+        got = jnp.where(mask, got, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_gqa_forward():
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(1), H=8, Hkv=2, packed=True)
+    want = packed_attention_reference(q, k, v, seg)
+    got = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                          use_pallas=True, interpret=True)
+    m = (seg != 0)[..., None, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(m, got, 0)), np.asarray(jnp.where(m, want, 0)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_unaligned_seqlen_padding():
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(2), T=200, packed=True)
+    want = packed_attention_reference(q, k, v, seg)
+    got = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                          use_pallas=True, interpret=True)
+    m = (seg != 0)[..., None, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(m, got, 0)), np.asarray(jnp.where(m, want, 0)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+@pytest.mark.parametrize("gqa", [False, True])
+def test_backward_matches_reference(gqa):
+    q, k, v, seg = make_inputs(
+        jax.random.PRNGKey(3), T=256, H=4, Hkv=2 if gqa else 4, packed=True
+    )
+
+    def loss_ref(q, k, v):
+        o = packed_attention_reference(q, k, v, seg)
+        return jnp.sum(jnp.where((seg != 0)[..., None, None], o, 0.0) ** 2)
+
+    def loss_pallas(q, k, v):
+        o = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                            use_pallas=True, interpret=True)
+        return jnp.sum(jnp.where((seg != 0)[..., None, None], o, 0.0) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_pal, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_fallback_path_no_pallas():
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(4), T=128)
+    got = flash_attention(q, k, v, seg, use_pallas=False)
+    want = packed_attention_reference(q, k, v, seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -1,0 +1,481 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Packed-document flash attention for TPU (Pallas) with XLA fallback.
+#
+# Capability parity: the reference trains packed sequences with
+# flex-attention document masks (segment-id attention_mask, SURVEY.md §5;
+# touchnet/models/llama/processing_llama.py:24-104). On TPU this becomes a
+# block-wise flash attention kernel that takes per-position segment ids and
+# applies (causal AND same-segment) masking online — FlashAttention
+# (arXiv:2205.14135) tiling with fp32 online-softmax accumulators on the MXU.
+#
+# Layout: public API is [B, T, H, D] (q) / [B, T, Hkv, D] (k, v) with
+# segment_ids [B, T] int32 (0 = padding). GQA is handled inside the kernel by
+# mapping query head h to kv head h // (H // Hkv) in the BlockSpec index map —
+# K/V are never materialized per-q-head.
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_MIN_LANE = 128
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (CPU tests / non-TPU backends / correctness)
+# ---------------------------------------------------------------------------
+
+
+def packed_attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array],
+    causal: bool = True,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Dense masked attention. q [B,T,H,D], k/v [B,S,Hkv,D] -> [B,T,H,D]."""
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if Hkv != H:
+        assert H % Hkv == 0
+        k = jnp.repeat(k, H // Hkv, axis=2)
+        v = jnp.repeat(v, H // Hkv, axis=2)
+    s = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32) * scale
+    mask = jnp.ones((B, 1, T, S), dtype=jnp.bool_)
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((T, S), dtype=jnp.bool_))
+        mask = mask & causal_mask[None, None]
+    if segment_ids is not None:
+        seg = segment_ids.astype(jnp.int32)
+        mask = mask & (seg[:, None, :, None] == seg[:, None, None, :])
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", p.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,  # inputs
+    out_ref, lse_ref,  # outputs
+    m_scratch, l_scratch, acc_scratch,  # scratch
+    *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
+):
+    iq, ikv = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # fully-masked block (strictly above the causal diagonal)?
+    run = (not causal) or (ikv * block_kv <= (iq + 1) * block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)  # [bkv, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bkv]
+
+        q_seg = q_seg_ref[0, 0]  # [bq] int32 (lane vector)
+        kv_seg = kv_seg_ref[0, 0]  # [bkv]
+        mask = q_seg[:, None] == kv_seg[None, :]
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            cols = ikv * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            mask = jnp.logical_and(mask, rows >= cols)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[:, :1]  # [bq, 1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # [bq, bkv]
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+
+    last = (
+        jnp.minimum(nkv, pl.cdiv((iq + 1) * block_q, block_kv)) - 1
+        if causal else nkv - 1
+    )
+
+    @pl.when(ikv == last)
+    def _finalize():
+        l = l_scratch[:, :1]
+        # all-masked rows (padding) have l == 0; emit zeros, lse = -inf-safe
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_scratch[:] / l_safe).astype(out_ref.dtype)
+        lse = m_scratch[:, 0] + jnp.log(jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0]))
+        lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_scratch,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
+):
+    iq, ikv = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(ikv == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    run = (not causal) or (ikv * block_kv <= (iq + 1) * block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_seg = q_seg_ref[0, 0]
+        kv_seg = kv_seg_ref[0, 0]
+        mask = q_seg[:, None] == kv_seg[None, :]
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            cols = ikv * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            mask = jnp.logical_and(mask, rows >= cols)
+        lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bkv]
+        delta = delta_ref[0, 0, 0][:, None]  # [bq, 1]
+        ds = p * (dp - delta)
+        dq_scratch[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    last = (
+        jnp.minimum(nkv, pl.cdiv((iq + 1) * block_q, block_kv)) - 1
+        if causal else nkv - 1
+    )
+
+    @pl.when(ikv == last)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_scratch, dv_scratch,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, nq: int,
+):
+    ikv, iq = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    # block participates unless q rows end before kv cols start
+    run = (not causal) or ((iq + 1) * block_q - 1 >= ikv * block_kv)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        # s^T: [bkv, bq]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_seg = q_seg_ref[0, 0]
+        kv_seg = kv_seg_ref[0, 0]
+        mask = kv_seg[:, None] == q_seg[None, :]
+        if causal:
+            cols = ikv * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_kv, block_q), 0
+            )
+            rows = iq * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_kv, block_q), 1
+            )
+            mask = jnp.logical_and(mask, rows >= cols)
+        lse = lse_ref[0, 0, 0][None, :]  # [1, bq]
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, bq]
+        dv_scratch[:] += jax.lax.dot_general(
+            pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bkv, bq]
+        delta = delta_ref[0, 0, 0][None, :]  # [1, bq]
+        dst = pt * (dpt - delta)
+        dk_scratch[:] += scale * jax.lax.dot_general(
+            dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_to(x, multiple, axis):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv, interpret):
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    # kernel layout [B, H, T, D]
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    nq = pl.cdiv(T, block_q)
+    nkv = pl.cdiv(S, block_kv)
+    grid = (B, H, nq, nkv)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_kv=block_kv, nkv=nkv,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, T), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _MIN_LANE), jnp.float32),
+            pltpu.VMEM((block_q, _MIN_LANE), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(segment_ids[:, None, :], segment_ids[:, None, :], qh, kh, vh)
+    return out.transpose(0, 2, 1, 3), lse
+
+
+def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
+                block_q, block_kv, interpret):
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    group = H // Hkv
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    doh = do.transpose(0, 2, 1, 3)
+    outh = out.transpose(0, 2, 1, 3)
+    delta = jnp.sum(doh.astype(jnp.float32) * outh.astype(jnp.float32), axis=-1)[
+        :, :, None, :
+    ]
+    nq = pl.cdiv(T, block_q)
+    nkv = pl.cdiv(S, block_kv)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, nkv=nkv,
+        ),
+        grid=(B, H, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        interpret=interpret,
+    )(segment_ids[:, None, :], segment_ids[:, None, :], qh, kh, vh, doh, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, nq=nq,
+        ),
+        grid=(B, H, nkv, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda b, h, ikv, iq: (b, 0, iq)),
+            pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, iq: (b, 0, ikv)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, ikv, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h // group, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h // group, ikv, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, ikv, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(segment_ids[:, None, :], segment_ids[:, None, :], qh, kh, vh, doh, lse, delta)
+
+    dq = dq.transpose(0, 2, 1, 3)
+    # reduce dk/dv over the GQA group
+    dk = dk.transpose(0, 2, 1, 3)
+    dv = dv.transpose(0, 2, 1, 3)
+    if group > 1:
+        dk = dk.reshape(B, S, Hkv, group, D).sum(axis=3)
+        dv = dv.reshape(B, S, Hkv, group, D).sum(axis=3)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API with custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def _flash_attention(q, k, v, segment_ids, causal, scale, block_q, block_kv,
+                     interpret):
+    out, _ = _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv,
+                         interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv, interpret):
+    out, lse = _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv,
+                           interpret)
+    return out, (q, k, v, segment_ids, out, lse)
+
+
+def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
+    q, k, v, segment_ids, out, lse = res
+    dq, dk, dv = _bwd_pallas(
+        q, k, v, segment_ids, out, lse, g, causal, scale, block_q, block_kv,
+        interpret,
+    )
+    return dq, dk, dv, None
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Packed-document flash attention.
+
+    Args:
+        q: [B, T, H, D]; k, v: [B, S, Hkv, D] (GQA when Hkv < H).
+        segment_ids: [B, T] int32 document ids; 0 marks padding. Attention is
+            restricted to (same segment) AND (causal) positions.
+        causal: apply causal masking on absolute positions.
+        scale: softmax scale; defaults to 1/sqrt(D).
+        block_q / block_kv: kernel tile sizes (TPU lane-aligned).
+        use_pallas: force kernel path; defaults to True on TPU backends.
+        interpret: run the Pallas kernel in interpreter mode (debugging).
+
+    Returns: [B, T, H, D] in q.dtype.
+    """
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not (use_pallas or interpret):
+        return packed_attention_reference(q, k, v, segment_ids, causal, scale)
+
+    assert T == S, "self-attention only (packed training path)"
+    block_q = min(block_q, -(-T // 128) * 128)
+    block_kv = min(block_kv, -(-S // 128) * 128)
+    if segment_ids is None:
+        segment_ids = jnp.ones((B, T), dtype=jnp.int32)
+    segment_ids = segment_ids.astype(jnp.int32)
+    # pad the sequence dim to a common block multiple; padding gets segment
+    # id 0, which in packed batches marks padding and only matches itself
+    pad_mult = (block_q * block_kv) // math.gcd(block_q, block_kv)
+    qp = _pad_to(q, pad_mult, 1)
+    kp = _pad_to(k, pad_mult, 1)
+    vp = _pad_to(v, pad_mult, 1)
+    segp = _pad_to(segment_ids, pad_mult, 1)
+    out = _flash_attention(
+        qp, kp, vp, segp, causal, scale, block_q, block_kv, interpret
+    )
+    return out[:, :T]
