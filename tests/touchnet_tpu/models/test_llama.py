@@ -1,0 +1,154 @@
+# Llama parity and sharding tests.
+# Golden: HF transformers LlamaForCausalLM (torch CPU) with identical weights
+# must produce the same logits as our functional JAX model — the analog of
+# the reference's single-process-golden vs parallelized-model test
+# (tests/touchnet/models/test_llama.py:85-150). Then the SAME logits must
+# come out of every mesh layout on the virtual 8-device CPU mesh.
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+from touchnet_tpu.models.llama.modeling_llama import forward, get_num_params, init_params
+
+CFG_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "assets", "config", "tiny_llama.json"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = LlamaConfig.from_json_file(CFG_PATH)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 96), 0, config.vocab_size)
+    return config, params, ids
+
+
+def _to_hf_state_dict(params, config):
+    import torch
+
+    sd = {}
+    mp = params["model"]
+    sd["model.embed_tokens.weight"] = mp["embed_tokens"]["weight"]
+    for l in range(config.num_hidden_layers):
+        pre = f"model.layers.{l}"
+        lp = mp["layers"]
+        sd[f"{pre}.input_layernorm.weight"] = lp["input_layernorm"]["weight"][l]
+        sd[f"{pre}.post_attention_layernorm.weight"] = lp["post_attention_layernorm"][
+            "weight"
+        ][l]
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[f"{pre}.self_attn.{name}.weight"] = lp["self_attn"][name]["weight"][l]
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            sd[f"{pre}.mlp.{name}.weight"] = lp["mlp"][name]["weight"][l]
+    sd["model.norm.weight"] = mp["norm"]["weight"]
+    sd["lm_head.weight"] = params["lm_head"]["weight"]
+    return {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+
+def test_logits_match_hf_transformers(tiny):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    config, params, ids = tiny
+
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=config.vocab_size,
+        hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        num_key_value_heads=config.num_key_value_heads,
+        max_position_embeddings=config.max_position_embeddings,
+        rms_norm_eps=config.rms_norm_eps,
+        rope_theta=config.rope_theta,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model.load_state_dict(_to_hf_state_dict(params, config), strict=True)
+    with torch.no_grad():
+        want = model(torch.from_numpy(np.asarray(ids))).logits.numpy()
+
+    got = forward(
+        params, input_ids=ids, config=config, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=3e-4)
+
+
+def test_packed_equals_unpacked(tiny):
+    """Two documents packed into one row with segment ids + restarting
+    position ids must reproduce the logits of each document run separately —
+    the correctness property behind pack training."""
+    config, params, _ = tiny
+    key = jax.random.PRNGKey(3)
+    a = jax.random.randint(key, (1, 40), 0, config.vocab_size)
+    b = jax.random.randint(jax.random.PRNGKey(4), (1, 24), 0, config.vocab_size)
+    packed_ids = jnp.concatenate([a, b], axis=1)
+    seg = jnp.concatenate(
+        [jnp.full((1, 40), 1, jnp.int32), jnp.full((1, 24), 2, jnp.int32)], axis=1
+    )
+    pos = jnp.concatenate(
+        [jnp.arange(40)[None], jnp.arange(24)[None]], axis=1
+    )
+    packed = forward(
+        params, input_ids=packed_ids, segment_ids=seg, position_ids=pos,
+        config=config, compute_dtype=jnp.float32,
+    )
+    la = forward(params, input_ids=a, config=config, compute_dtype=jnp.float32)
+    lb = forward(params, input_ids=b, config=config, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(packed[:, :40]), np.asarray(la),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(packed[:, 40:]), np.asarray(lb),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_num_params_matches_tree(tiny):
+    config, params, _ = tiny
+    n = sum(x.size for x in jax.tree.leaves(params))
+    assert n == get_num_params(config)
+
+
+@pytest.mark.parametrize(
+    "dims",
+    [
+        dict(dp_shard=8),
+        dict(dp_shard=4, tp=2),
+        dict(dp_shard=2, cp=2, tp=2),
+        dict(dp_replicate=2, dp_shard=2, cp=2),
+        dict(dp_shard=2, cp=4),
+    ],
+)
+def test_sharded_forward_matches_golden(tiny, dims):
+    """Every mesh layout must reproduce the single-device logits (reference
+    test_llama.py parallel-correctness strategy, on the CPU mesh)."""
+    from touchnet_tpu.parallel.context_parallel import make_sharded_attn_fn
+    from touchnet_tpu.parallel.dims import ParallelDims
+    from touchnet_tpu.parallel.sharding import make_shard_fn, named_shardings
+
+    config, params, ids = tiny
+    golden = forward(params, input_ids=ids, config=config, compute_dtype=jnp.float32)
+
+    pd = ParallelDims(world_size=8, **{k: v for k, v in dims.items()})
+    mesh = pd.build_mesh()
+    shardings = named_shardings(params, mesh)
+    sharded_params = jax.device_put(params, shardings)
+    attn_fn = make_sharded_attn_fn(mesh)
+
+    # T=96: pad to a cp-divisible, 128-lane-friendly length is not needed on
+    # CPU fallback; cp shards 96 across cp degree (divisible for cp in 2,4)
+    @jax.jit
+    def run(p, i):
+        return forward(
+            p, input_ids=i, config=config, compute_dtype=jnp.float32,
+            attn_fn=attn_fn, shard_fn=make_shard_fn(mesh),
+        )
+
+    with mesh:
+        got = run(sharded_params, ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(golden), atol=2e-4, rtol=2e-4
+    )

@@ -102,3 +102,25 @@ def test_fallback_path_no_pallas():
     got = flash_attention(q, k, v, seg, use_pallas=False)
     want = packed_attention_reference(q, k, v, seg)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_q_offset_context_parallel_slice():
+    """Sharded-Q + gathered-KV (context parallel, allgather rotation): each
+    Q slice with the right q_offset must reproduce the corresponding rows of
+    full attention."""
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(5), T=256, packed=True)
+    full = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                           use_pallas=True, interpret=True)
+    for part in range(2):
+        sl = slice(part * 128, (part + 1) * 128)
+        got = flash_attention(
+            q[:, sl], k, v, seg[:, sl], kv_segment_ids=seg,
+            q_offset=part * 128, block_q=128, block_kv=128,
+            use_pallas=True, interpret=True,
+        )
+        m = (seg[:, sl] != 0)[..., None, None]
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(m, got, 0)),
+            np.asarray(jnp.where(m, full[:, sl], 0)),
+            atol=2e-5, rtol=2e-5,
+        )

@@ -1,0 +1,466 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# The training binary: single-file exposed train loop.
+#
+# Capability parity: reference touchnet/bin/train.py:42-648 (Trainer with
+# init / train / train_step / dev, telemetry, checkpoint cadence, profiling).
+# TPU-first re-design (SURVEY.md §7):
+#   - single-controller SPMD: one process drives the whole
+#     [pp, dp_replicate, dp_shard, cp, tp] mesh; the "global batch" is
+#     assembled from the per-dp-rank loader streams (identical order to the
+#     reference's per-rank loaders) and device_put with (dp, cp) sharding;
+#   - one jitted train_step: forward (Pallas packed attention via shard_map)
+#     + pack loss + grad clip + AdamW update, params donated, XLA inserts
+#     every collective (FSDP all-gather/reduce-scatter, TP, loss-parallel);
+#   - grad-scale semantics: the objective is global_sum/global_num_sentence —
+#     the true packed per-sample mean. (The reference's FSDP mean-reduce adds
+#     an extra 1/dp factor to effective grads; we implement the exact
+#     objective instead.)
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from touchnet_tpu.bin import TrainConfig
+from touchnet_tpu.data import DataConfig
+from touchnet_tpu.parallel.context_parallel import make_sharded_attn_fn
+from touchnet_tpu.parallel.dims import ParallelDims
+from touchnet_tpu.parallel.sharding import (
+    batch_specs,
+    make_shard_fn,
+    named_shardings,
+)
+from touchnet_tpu.tokenizer import TokenizerConfig
+from touchnet_tpu.utils.checkpoint import CheckpointManager, export_weights_only
+from touchnet_tpu.utils.cli import dump_config_json, parse_args_into_dataclasses
+from touchnet_tpu.utils.distributed import (
+    GarbageCollection,
+    init_distributed,
+    set_determinism,
+)
+from touchnet_tpu.utils.logging import init_logger, logger
+from touchnet_tpu.utils.metrics import build_metrics_processor
+from touchnet_tpu.utils.optimizer import build_lr_schedule, build_optimizer
+from touchnet_tpu.utils.profiling import (
+    maybe_enable_memory_snapshot,
+    maybe_enable_profiling,
+)
+from touchnet_tpu.utils.train_spec import get_train_spec
+
+_BATCH_ARRAY_KEYS = (
+    "input_ids",
+    "inputs_embeds",
+    "input_features",
+    "labels",
+    "shift_labels",
+    "position_ids",
+    "attention_mask",
+    "sentence_lens",
+)
+
+
+class GlobalBatchLoader:
+    """Assembles the global batch from per-dp-rank loader streams.
+
+    Reference semantics: each dp rank has its own stateful loader
+    (touchnet/data/dataloader.py). Under one controller we instantiate all
+    dp_degree streams and concatenate along batch, so sample order per rank
+    is bit-identical to the reference layout; state is the union of the
+    per-rank states."""
+
+    def __init__(self, build_fn, data_config, tokenizer, dp_degree: int, split: str):
+        self.dp_degree = dp_degree
+        self.loaders = [
+            build_fn(data_config, tokenizer, r, dp_degree, split)
+            for r in range(dp_degree)
+        ]
+
+    def __iter__(self):
+        iters = [iter(ld) for ld in self.loaders]
+        while True:
+            parts = []
+            for it in iters:
+                try:
+                    parts.append(next(it))
+                except StopIteration:
+                    return
+            batch: Dict[str, Any] = {}
+            for key in parts[0]:
+                vals = [p[key] for p in parts]
+                if key == "num_sentence":
+                    batch[key] = int(sum(vals))
+                elif vals[0] is None:
+                    batch[key] = None
+                elif isinstance(vals[0], np.ndarray):
+                    batch[key] = np.concatenate(vals, axis=0)
+                else:
+                    batch[key] = vals
+            yield batch
+
+    def state_dict(self):
+        state = {}
+        for ld in self.loaders:
+            state.update(ld.state_dict())
+        state["world_size"] = self.dp_degree
+        return state
+
+    def load_state_dict(self, state):
+        for ld in self.loaders:
+            ld.load_state_dict(state)
+
+    def get_epoch(self):
+        return min(ld.get_epoch() for ld in self.loaders)
+
+    def shutdown(self):
+        for ld in self.loaders:
+            ld.shutdown()
+
+
+class Trainer:
+    def __init__(
+        self,
+        tokenizer_config: TokenizerConfig,
+        data_config: DataConfig,
+        job_config: TrainConfig,
+    ):
+        self.job_config = job_config
+        self.data_config = data_config
+        self.tokenizer_config = tokenizer_config
+        self.gc_handler = GarbageCollection(job_config.training_gc_freq)
+
+        self.parallel_dims = ParallelDims(
+            dp_replicate=job_config.training_data_parallel_replicate_degree,
+            dp_shard=job_config.training_data_parallel_shard_degree,
+            cp=job_config.training_context_parallel_degree,
+            tp=job_config.training_tensor_parallel_degree,
+            pp=job_config.training_pipeline_parallel_degree,
+            enable_loss_parallel=job_config.training_enable_loss_parallel,
+        )
+        init_distributed(job_config)
+        init_logger(
+            os.path.join(job_config.training_trace_dump_folder, "touchnet_train.log")
+        )
+        self.mesh = self.parallel_dims.build_mesh()
+        logger.info(
+            f"mesh: {dict(self.mesh.shape)} on {jax.device_count()} "
+            f"{jax.devices()[0].device_kind} devices"
+        )
+        self.prng = set_determinism(
+            job_config.training_seed, job_config.training_deterministic
+        )
+
+        self.train_spec = get_train_spec(job_config.training_model_name)
+        if self.train_spec.dp_only:
+            assert not (
+                self.parallel_dims.tp_enabled
+                or self.parallel_dims.cp_enabled
+                or self.parallel_dims.pp_enabled
+            ), f"{self.train_spec.name} supports FSDP/HSDP/DDP only"
+        if self.train_spec.additional_pre_init_fn is not None:
+            self.train_spec.additional_pre_init_fn(job_config)
+        self.model_config = self.train_spec.config_cls.from_json_file(
+            job_config.training_model_config_path
+        )
+
+        # dump configs into the experiment dir (reference train.py:133-141)
+        dump_dir = job_config.training_trace_dump_folder
+        for name, cfg in (
+            ("tokenizer_config", tokenizer_config),
+            ("data_config", data_config),
+            ("train_config", job_config),
+        ):
+            dump_config_json(cfg, os.path.join(dump_dir, f"{name}.json"))
+
+        self.tokenizer = self.train_spec.build_tokenizer_fn(tokenizer_config)
+        self.dataloader = GlobalBatchLoader(
+            self.train_spec.build_dataloader_fn,
+            data_config,
+            self.tokenizer,
+            self.parallel_dims.dp_degree,
+            "train",
+        )
+        self.has_dev = data_config.datalist_dev_path is not None
+
+        self.metrics_processor = (
+            self.train_spec.build_metrics_processor_fn
+            or build_metrics_processor
+        )(job_config, self.parallel_dims)
+
+        # ---- sharded init (the meta-device analog: eval_shape + jit with
+        # out_shardings, so a 7B model never materializes on one host) ----
+        init_key, self.prng = jax.random.split(self.prng)
+        abstract = jax.eval_shape(
+            lambda k: self.train_spec.init_params_fn(self.model_config, k), init_key
+        )
+        self.param_shardings = named_shardings(
+            abstract, self.mesh, self.train_spec.param_rules
+        )
+        with self.mesh:
+            self.params = jax.jit(
+                lambda k: self.train_spec.init_params_fn(self.model_config, k),
+                out_shardings=self.param_shardings,
+            )(init_key)
+        if self.train_spec.additional_post_init_fn is not None:
+            self.params = (
+                self.train_spec.additional_post_init_fn(
+                    self.params, self.model_config
+                )
+                or self.params
+            )
+
+        num_params = self.train_spec.get_num_params_fn(self.model_config)
+        seq_len = (
+            data_config.dataset_text_seqlen
+            if data_config.datapipe_type == "causal_lm"
+            else data_config.dataset_audio_seqlen
+        )
+        self.num_flop_per_token = self.train_spec.get_num_flop_per_token_fn(
+            num_params, self.model_config, seq_len
+        )
+        self.metrics_processor.num_flop_per_token = self.num_flop_per_token
+        logger.info(
+            f"model {self.train_spec.name}: {num_params / 1e6:.1f}M params, "
+            f"{self.num_flop_per_token / 1e9:.2f} GFLOP/token"
+        )
+
+        bundle = build_optimizer(job_config)
+        self.tx, self.schedule = bundle.tx, bundle.schedule
+        # moment trees inherit the param shardings via propagation; scalar
+        # leaves (step counts) are pinned replicated so restored checkpoints
+        # stay mesh-consistent
+        abstract_opt = jax.eval_shape(self.tx.init, abstract)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        opt_out_shardings = jax.tree.map(
+            lambda l: NamedSharding(self.mesh, PartitionSpec())
+            if l.ndim == 0
+            else None,
+            abstract_opt,
+        )
+        with self.mesh:
+            self.opt_state = jax.jit(
+                self.tx.init, out_shardings=opt_out_shardings
+            )(self.params)
+
+        self.checkpointer = CheckpointManager(self.dataloader, job_config)
+        loaded = self.checkpointer.load(self.params, self.opt_state)
+        self.params = loaded["params"]
+        self.opt_state = loaded["opt_state"]
+        self.step = loaded["step"]
+
+        self.train_step_fn = self._build_train_step()
+        self.eval_step_fn = self._build_eval_step()
+        self.lr_schedule = build_lr_schedule(job_config)
+
+    # ------------------------------------------------------------------
+    def _forward_logits(self, params, batch):
+        cfg = self.job_config
+        attn_fn = make_sharded_attn_fn(
+            self.mesh,
+            rotate_method=cfg.training_context_parallel_rotate_method,
+        )
+        shard_fn = make_shard_fn(
+            self.mesh, self.parallel_dims.loss_parallel_enabled
+        )
+        kwargs = dict(
+            segment_ids=batch["attention_mask"],
+            position_ids=batch["position_ids"],
+            config=self.model_config,
+            compute_dtype=_dtype(cfg.training_mixed_precision_param),
+            attn_fn=attn_fn,
+            remat_mode=cfg.training_activation_checkpoint_mode,
+            shard_fn=shard_fn,
+        )
+        if batch.get("inputs_embeds") is not None:
+            kwargs["inputs_embeds"] = batch["inputs_embeds"]
+        if batch.get("input_features") is not None:
+            kwargs["input_features"] = batch["input_features"]
+        if batch.get("input_ids") is not None:
+            kwargs["input_ids"] = batch["input_ids"]
+        return self.train_spec.forward_fn(params, **kwargs)
+
+    def _build_train_step(self):
+        cfg = self.job_config
+        tx = self.tx
+        max_norm = cfg.training_max_norm
+
+        def loss_fn(params, batch, num_sentence):
+            logits = self._forward_logits(params, batch)
+            loss_ps, loss_pt = self.train_spec.loss_fn(
+                logits, batch["labels"], batch["sentence_lens"], num_sentence
+            )
+            acc = self.train_spec.acc_fn(logits, batch["labels"])
+            return loss_ps, (loss_pt, acc)
+
+        def train_step(params, opt_state, batch, num_sentence, step):
+            (loss_ps, (loss_pt, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch, num_sentence)
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+            grads = jax.tree.map(lambda g: g * scale, grads)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # skip the update entirely on non-finite grad norm
+            # (reference train.py:467-471)
+            finite = jnp.isfinite(gnorm)
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new_params, params
+            )
+            new_opt = jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new_opt, opt_state
+            )
+            metrics = {
+                "loss/per_sample": loss_ps,
+                "loss/per_token": loss_pt,
+                "acc": acc,
+                "grad_norm": gnorm,
+                "lr": self.schedule(step),
+            }
+            return new_params, new_opt, metrics
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        def eval_step(params, batch, num_sentence):
+            logits = self._forward_logits(params, batch)
+            loss_ps, loss_pt = self.train_spec.loss_fn(
+                logits, batch["labels"], batch["sentence_lens"], num_sentence
+            )
+            acc = self.train_spec.acc_fn(logits, batch["labels"])
+            return {"loss_per_sample": loss_ps, "loss_per_token": loss_pt, "acc": acc}
+
+        return jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def _put_batch(self, batch: Dict[str, Any]):
+        """Host batch -> device arrays sharded (dp, cp)."""
+        arrays = {
+            k: batch[k]
+            for k in _BATCH_ARRAY_KEYS
+            if batch.get(k) is not None and isinstance(batch[k], np.ndarray)
+        }
+        specs = batch_specs(arrays, self.mesh)
+        device_batch = jax.device_put(arrays, specs)
+        for k in _BATCH_ARRAY_KEYS:
+            device_batch.setdefault(k, None)
+        num_sentence = jnp.asarray(batch.get("num_sentence", 0), jnp.float32)
+        return device_batch, num_sentence
+
+    def train(self):
+        cfg = self.job_config
+        total_steps = cfg.lr_scheduler_steps
+        logger.info(f"training starts at step {self.step + 1}/{total_steps}")
+        with maybe_enable_profiling(cfg, self.step) as profiler, \
+                maybe_enable_memory_snapshot(cfg, self.step) as mem_profiler:
+            data_iter = iter(self.dataloader)
+            last_metrics = None
+            while self.step < total_steps:
+                self.gc_handler.run(self.step)
+                t0 = time.perf_counter()
+                try:
+                    batch = next(data_iter)
+                except StopIteration:
+                    logger.info("dataloader exhausted; ending training")
+                    break
+                ntokens = int((batch["labels"] != -100).sum())
+                device_batch, num_sentence = self._put_batch(batch)
+                self.metrics_processor.data_loading_times.append(
+                    time.perf_counter() - t0
+                )
+                self.metrics_processor.ntokens_since_last_log += ntokens
+
+                self.step += 1
+                self.checkpointer.maybe_wait_for_staging()
+                self.params, self.opt_state, metrics = self.train_step_fn(
+                    self.params, self.opt_state, device_batch, num_sentence,
+                    self.step,
+                )
+                last_metrics = metrics
+
+                if self.metrics_processor.should_log(self.step):
+                    host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    self.metrics_processor.log(self.step, host)
+
+                saved = self.checkpointer.save(
+                    self.step,
+                    self.params,
+                    self.opt_state,
+                    force=(self.step == total_steps),
+                )
+                if profiler is not None:
+                    profiler.step(self.step)
+                if mem_profiler is not None:
+                    mem_profiler.step(self.step)
+                if saved and self.has_dev:
+                    self.dev()
+
+            if last_metrics is not None:
+                host = {k: float(v) for k, v in jax.device_get(last_metrics).items()}
+                self.metrics_processor.log(self.step, host)
+        if cfg.training_ckpt_model_weights_only and self.checkpointer.enabled:
+            self.checkpointer.wait_until_finished()
+            export_weights_only(
+                self.params,
+                os.path.join(self.checkpointer.folder, "weights_only"),
+                cfg.training_ckpt_export_dtype,
+            )
+        self.checkpointer.wait_until_finished()
+        self.metrics_processor.close()
+        logger.info("training completed")
+
+    def dev(self):
+        """Dev-set eval pass (reference Trainer.dev, train.py:588-621)."""
+        dev_loader = GlobalBatchLoader(
+            self.train_spec.build_dataloader_fn,
+            self.data_config,
+            self.tokenizer,
+            self.parallel_dims.dp_degree,
+            "dev",
+        )
+        totals = {"loss_per_sample": 0.0, "loss_per_token": 0.0, "acc": 0.0}
+        n = 0
+        for batch in dev_loader:
+            device_batch, num_sentence = self._put_batch(batch)
+            m = jax.device_get(
+                self.eval_step_fn(self.params, device_batch, num_sentence)
+            )
+            for k in totals:
+                totals[k] += float(m[k])
+            n += 1
+        dev_loader.shutdown()
+        if n:
+            self.metrics_processor.log_dev(
+                self.step, {k: v / n for k, v in totals.items()}
+            )
+
+    def close(self):
+        self.checkpointer.close()
+        self.dataloader.shutdown()
+
+
+def _dtype(name: str):
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "float16": jnp.float16,
+    }[name]
+
+
+def main(argv: Optional[list] = None):
+    tokenizer_config, data_config, job_config = parse_args_into_dataclasses(
+        [TokenizerConfig, DataConfig, TrainConfig], argv
+    )
+    trainer = Trainer(tokenizer_config, data_config, job_config)
+    try:
+        trainer.train()
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main()

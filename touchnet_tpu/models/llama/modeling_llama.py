@@ -1,0 +1,224 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Llama decoder as a pure function over an HF-shaped param pytree.
+#
+# Capability parity: the reference reuses HF transformers.LlamaForCausalLM
+# with flex-attention packed-document masks (touchnet/models/llama/
+# __init__.py:11-67, SURVEY.md §2.7). TPU-first design decisions:
+#   - per-layer weights are STACKED on a leading [L, ...] axis and the depth
+#     loop is lax.scan -> one trace/compile regardless of depth;
+#   - attention is the Pallas packed flash kernel (ops/attention.py);
+#   - activation checkpointing is jax.checkpoint on the scanned body
+#     (mode "full") or a dots-saveable rematerialization policy
+#     (mode "selective" / "op"), replacing torch ptd_checkpoint_wrapper
+#     (reference touchnet/models/helper_func.py:26-112);
+#   - mixed precision: params live in fp32 (master), compute casts to
+#     bfloat16 at entry (reference MixedPrecisionPolicy, helper_func.py:160).
+#
+# Param tree (HF key layout, so HF<->Orbax converters are mechanical):
+#   model.embed_tokens.weight            [V, E]
+#   model.layers.{input_layernorm, self_attn.{q,k,v,o}_proj,
+#                 post_attention_layernorm, mlp.{gate,up,down}_proj}.weight
+#       — each stacked [L, ...]
+#   model.norm.weight                    [E]
+#   lm_head.weight                       [V, E]   (absent when tied)
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from touchnet_tpu.models.common import (
+    apply_rope,
+    linear,
+    normal_init,
+    rms_norm,
+    rope_frequencies,
+    swiglu,
+)
+from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+from touchnet_tpu.ops.attention import flash_attention, packed_attention_reference
+
+
+def init_params(config: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Initialize the parameter pytree (normal(0, initializer_range), ones
+    for norms — HF LlamaPreTrainedModel._init_weights semantics)."""
+    E = config.hidden_size
+    L = config.num_hidden_layers
+    H = config.num_attention_heads
+    Hkv = config.num_key_value_heads
+    Dh = config.head_dim
+    inter = config.intermediate_size
+    V = config.vocab_size
+    std = config.initializer_range
+    keys = iter(jax.random.split(key, 16))
+
+    def w(k, shape):
+        return normal_init(k, shape, std=std, dtype=dtype)
+
+    params = {
+        "model": {
+            "embed_tokens": {"weight": w(next(keys), (V, E))},
+            "layers": {
+                "input_layernorm": {"weight": jnp.ones((L, E), dtype)},
+                "self_attn": {
+                    "q_proj": {"weight": w(next(keys), (L, H * Dh, E))},
+                    "k_proj": {"weight": w(next(keys), (L, Hkv * Dh, E))},
+                    "v_proj": {"weight": w(next(keys), (L, Hkv * Dh, E))},
+                    "o_proj": {"weight": w(next(keys), (L, E, H * Dh))},
+                },
+                "post_attention_layernorm": {"weight": jnp.ones((L, E), dtype)},
+                "mlp": {
+                    "gate_proj": {"weight": w(next(keys), (L, inter, E))},
+                    "up_proj": {"weight": w(next(keys), (L, inter, E))},
+                    "down_proj": {"weight": w(next(keys), (L, E, inter))},
+                },
+            },
+            "norm": {"weight": jnp.ones((E,), dtype)},
+        },
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"weight": w(next(keys), (V, E))}
+    return params
+
+
+def _default_attn(config: LlamaConfig, block_q: int, block_kv: int) -> Callable:
+    if config.attn_implementation == "eager":
+        return lambda q, k, v, seg: packed_attention_reference(q, k, v, seg)
+    return lambda q, k, v, seg: flash_attention(
+        q, k, v, seg, block_q=block_q, block_kv=block_kv
+    )
+
+
+def decoder_layer(
+    h: jax.Array,
+    lp: dict,
+    *,
+    cos_sin_posids: jax.Array,
+    segment_ids: Optional[jax.Array],
+    config: LlamaConfig,
+    attn_fn: Callable,
+    inv_freq: jax.Array,
+    shard_fn: Callable,
+) -> jax.Array:
+    """One pre-norm transformer block. h [B, T, E]."""
+    B, T, E = h.shape
+    H = config.num_attention_heads
+    Hkv = config.num_key_value_heads
+    Dh = config.head_dim
+
+    normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    q = linear(normed, lp["self_attn"]["q_proj"]["weight"]).reshape(B, T, H, Dh)
+    k = linear(normed, lp["self_attn"]["k_proj"]["weight"]).reshape(B, T, Hkv, Dh)
+    v = linear(normed, lp["self_attn"]["v_proj"]["weight"]).reshape(B, T, Hkv, Dh)
+    q, k = apply_rope(q, k, cos_sin_posids, inv_freq)
+    attn = attn_fn(q, k, v, segment_ids)
+    h = h + shard_fn(
+        linear(attn.reshape(B, T, H * Dh), lp["self_attn"]["o_proj"]["weight"]),
+        "btd",
+    )
+    normed = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    mlp_out = swiglu(
+        normed,
+        lp["mlp"]["gate_proj"]["weight"],
+        lp["mlp"]["up_proj"]["weight"],
+        lp["mlp"]["down_proj"]["weight"],
+    )
+    return h + shard_fn(mlp_out, "btd")
+
+
+def forward(
+    params: dict,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    config: LlamaConfig,
+    compute_dtype=jnp.bfloat16,
+    attn_fn: Optional[Callable] = None,
+    remat_mode: str = "none",  # none | full | selective(op)
+    block_q: int = 512,
+    block_kv: int = 512,
+    shard_fn: Optional[Callable] = None,
+    return_hidden: bool = False,
+) -> jax.Array:
+    """Run the decoder; returns logits [B, T, V] (or final hidden when
+    return_hidden). position_ids restart per packed sentence; segment_ids is
+    the packed-document mask (attention_mask in the batch contract)."""
+    shard = shard_fn if shard_fn is not None else (lambda x, kind: x)
+    mp = params["model"]
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(
+            mp["embed_tokens"]["weight"], input_ids, axis=0
+        )
+    h = shard(inputs_embeds.astype(compute_dtype), "btd")
+    B, T, _ = h.shape
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta)
+
+    attn = attn_fn if attn_fn is not None else _default_attn(config, block_q, block_kv)
+
+    layer = functools.partial(
+        decoder_layer,
+        cos_sin_posids=position_ids,
+        segment_ids=segment_ids,
+        config=config,
+        attn_fn=attn,
+        inv_freq=inv_freq,
+        shard_fn=shard,
+    )
+
+    def body(carry, lp):
+        lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
+        return layer(carry, lp), None
+
+    if remat_mode == "full":
+        body = jax.checkpoint(body, prevent_cse=False)
+    elif remat_mode in ("selective", "op"):
+        body = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            prevent_cse=False,
+        )
+
+    h, _ = jax.lax.scan(body, h, mp["layers"])
+    h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    if return_hidden:
+        return h
+    head_w = (
+        mp["embed_tokens"]["weight"]
+        if config.tie_word_embeddings
+        else params["lm_head"]["weight"]
+    )
+    logits = linear(h, head_w.astype(compute_dtype))
+    return shard(logits, "btv")
+
+
+def get_num_params(config: LlamaConfig, exclude_embedding: bool = False) -> int:
+    E, L = config.hidden_size, config.num_hidden_layers
+    H, Hkv, Dh = (
+        config.num_attention_heads,
+        config.num_key_value_heads,
+        config.head_dim,
+    )
+    inter, V = config.intermediate_size, config.vocab_size
+    per_layer = (
+        2 * E  # norms
+        + (H * Dh + 2 * Hkv * Dh) * E + E * H * Dh  # attention
+        + 3 * inter * E  # mlp
+    )
+    n = V * E + L * per_layer + E
+    if not config.tie_word_embeddings:
+        n += V * E
+    if exclude_embedding:
+        n -= V * E
+    return n
+
+
+def get_num_flop_per_token(num_params: int, config: LlamaConfig, seq_len: int) -> float:
+    """6N + 12*l*h*q*t (reference touchnet/models/llama/__init__.py:39-54)."""
+    return 6 * num_params + 12 * config.num_hidden_layers * (
+        config.num_attention_heads * config.head_dim
+    ) * seq_len

@@ -3,15 +3,20 @@
 #
 # Capability parity: the reference trains packed sequences with
 # flex-attention document masks (segment-id attention_mask, SURVEY.md §5;
-# touchnet/models/llama/processing_llama.py:24-104). On TPU this becomes a
-# block-wise flash attention kernel that takes per-position segment ids and
-# applies (causal AND same-segment) masking online — FlashAttention
-# (arXiv:2205.14135) tiling with fp32 online-softmax accumulators on the MXU.
+# touchnet/models/llama/processing_llama.py:24-104) and ring-attention
+# context parallel (torch.distributed context_parallel, SURVEY.md §2.5). On
+# TPU this becomes a block-wise flash attention kernel taking per-position
+# segment ids with (causal AND same-segment) masking applied online —
+# FlashAttention (arXiv:2205.14135) tiling with fp32 online-softmax
+# accumulators feeding the MXU — plus a context-parallel wrapper
+# (shard_map over the "cp" mesh axis) in touchnet_tpu/parallel/.
 #
-# Layout: public API is [B, T, H, D] (q) / [B, T, Hkv, D] (k, v) with
-# segment_ids [B, T] int32 (0 = padding). GQA is handled inside the kernel by
-# mapping query head h to kv head h // (H // Hkv) in the BlockSpec index map —
-# K/V are never materialized per-q-head.
+# Layout: public API is [B, T, H, D] (q) / [B, S, Hkv, D] (k, v) with
+# segment_ids [B, T]/[B, S] int32 (0 = padding). GQA is handled inside the
+# kernel by mapping query head h to kv head h // (H // Hkv) in the BlockSpec
+# index map — K/V are never materialized per-q-head. `q_offset` gives the
+# global position of the first query row so causal masking stays correct when
+# Q is sequence-sharded (context parallel) while KV is gathered.
 
 import functools
 import math
@@ -42,12 +47,16 @@ def packed_attention_reference(
     segment_ids: Optional[jax.Array],
     causal: bool = True,
     scale: Optional[float] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset=0,
 ) -> jax.Array:
     """Dense masked attention. q [B,T,H,D], k/v [B,S,Hkv,D] -> [B,T,H,D]."""
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(D)
+    if kv_segment_ids is None:
+        kv_segment_ids = segment_ids
     if Hkv != H:
         assert H % Hkv == 0
         k = jnp.repeat(k, H // Hkv, axis=2)
@@ -55,11 +64,14 @@ def packed_attention_reference(
     s = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32) * scale
     mask = jnp.ones((B, 1, T, S), dtype=jnp.bool_)
     if causal:
-        causal_mask = jnp.tril(jnp.ones((T, S), dtype=jnp.bool_))
-        mask = mask & causal_mask[None, None]
+        rows = q_offset + jnp.arange(T)[:, None]
+        cols = jnp.arange(S)[None, :]
+        mask = mask & (rows >= cols)[None, None]
     if segment_ids is not None:
-        seg = segment_ids.astype(jnp.int32)
-        mask = mask & (seg[:, None, :, None] == seg[:, None, None, :])
+        mask = mask & (
+            segment_ids.astype(jnp.int32)[:, None, :, None]
+            == kv_segment_ids.astype(jnp.int32)[:, None, None, :]
+        )
     s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhts,bshd->bthd", p.astype(v.dtype), v)
@@ -71,13 +83,33 @@ def packed_attention_reference(
 # ---------------------------------------------------------------------------
 
 
+def _causal_block_mask(mask, q_off, iq, ikv, block_q, block_kv, transpose=False):
+    if not transpose:
+        rows = q_off + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0
+        )
+        cols = ikv * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+    else:
+        cols = ikv * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 0
+        )
+        rows = q_off + iq * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 1
+        )
+    return jnp.logical_and(mask, rows >= cols)
+
+
 def _fwd_kernel(
+    q_off_ref,  # SMEM [1]
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,  # inputs
     out_ref, lse_ref,  # outputs
     m_scratch, l_scratch, acc_scratch,  # scratch
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
 ):
     iq, ikv = pl.program_id(2), pl.program_id(3)
+    q_off = q_off_ref[0]
 
     @pl.when(ikv == 0)
     def _init():
@@ -85,8 +117,8 @@ def _fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # fully-masked block (strictly above the causal diagonal)?
-    run = (not causal) or (ikv * block_kv <= (iq + 1) * block_q - 1)
+    # skip blocks strictly above the causal diagonal
+    run = (not causal) or (ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -100,13 +132,7 @@ def _fwd_kernel(
         kv_seg = kv_seg_ref[0, 0]  # [bkv]
         mask = q_seg[:, None] == kv_seg[None, :]
         if causal:
-            rows = iq * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
-            )
-            cols = ikv * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
-            )
-            mask = jnp.logical_and(mask, rows >= cols)
+            mask = _causal_block_mask(mask, q_off, iq, ikv, block_q, block_kv)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -124,15 +150,15 @@ def _fwd_kernel(
         )
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
-    last = (
-        jnp.minimum(nkv, pl.cdiv((iq + 1) * block_q, block_kv)) - 1
-        if causal else nkv - 1
-    )
+    if causal:
+        last = jnp.minimum(nkv, pl.cdiv(q_off + (iq + 1) * block_q, block_kv)) - 1
+    else:
+        last = nkv - 1
 
     @pl.when(ikv == last)
     def _finalize():
         l = l_scratch[:, :1]
-        # all-masked rows (padding) have l == 0; emit zeros, lse = -inf-safe
+        # all-masked rows (padding) have l == 0; emit zeros, keep lse finite
         l_safe = jnp.where(l == 0.0, 1.0, l)
         out_ref[0, 0] = (acc_scratch[:] / l_safe).astype(out_ref.dtype)
         lse = m_scratch[:, 0] + jnp.log(jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0]))
@@ -145,18 +171,20 @@ def _fwd_kernel(
 
 
 def _bwd_dq_kernel(
+    q_off_ref,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
 ):
     iq, ikv = pl.program_id(2), pl.program_id(3)
+    q_off = q_off_ref[0]
 
     @pl.when(ikv == 0)
     def _init():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    run = (not causal) or (ikv * block_kv <= (iq + 1) * block_q - 1)
+    run = (not causal) or (ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -167,17 +195,9 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        q_seg = q_seg_ref[0, 0]
-        kv_seg = kv_seg_ref[0, 0]
-        mask = q_seg[:, None] == kv_seg[None, :]
+        mask = q_seg_ref[0, 0][:, None] == kv_seg_ref[0, 0][None, :]
         if causal:
-            rows = iq * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
-            )
-            cols = ikv * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 1
-            )
-            mask = jnp.logical_and(mask, rows >= cols)
+            mask = _causal_block_mask(mask, q_off, iq, ikv, block_q, block_kv)
         lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
@@ -189,10 +209,10 @@ def _bwd_dq_kernel(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    last = (
-        jnp.minimum(nkv, pl.cdiv((iq + 1) * block_q, block_kv)) - 1
-        if causal else nkv - 1
-    )
+    if causal:
+        last = jnp.minimum(nkv, pl.cdiv(q_off + (iq + 1) * block_q, block_kv)) - 1
+    else:
+        last = nkv - 1
 
     @pl.when(ikv == last)
     def _finalize():
@@ -200,20 +220,22 @@ def _bwd_dq_kernel(
 
 
 def _bwd_dkv_kernel(
+    q_off_ref,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int, nq: int,
 ):
     ikv, iq = pl.program_id(2), pl.program_id(3)
+    q_off = q_off_ref[0]
 
     @pl.when(iq == 0)
     def _init():
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
-    # block participates unless q rows end before kv cols start
-    run = (not causal) or ((iq + 1) * block_q - 1 >= ikv * block_kv)
+    # block participates unless all q rows precede all kv cols
+    run = (not causal) or (q_off + (iq + 1) * block_q - 1 >= ikv * block_kv)
 
     @pl.when(run)
     def _compute():
@@ -221,21 +243,14 @@ def _bwd_dkv_kernel(
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        # s^T: [bkv, bq]
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        q_seg = q_seg_ref[0, 0]
-        kv_seg = kv_seg_ref[0, 0]
-        mask = kv_seg[:, None] == q_seg[None, :]
+        ) * scale  # [bkv, bq]
+        mask = kv_seg_ref[0, 0][:, None] == q_seg_ref[0, 0][None, :]
         if causal:
-            cols = ikv * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (block_kv, block_q), 0
+            mask = _causal_block_mask(
+                mask, q_off, iq, ikv, block_q, block_kv, transpose=True
             )
-            rows = iq * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_kv, block_q), 1
-            )
-            mask = jnp.logical_and(mask, rows >= cols)
         lse = lse_ref[0, 0, 0][None, :]  # [1, bq]
         pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, bq]
         dv_scratch[:] += jax.lax.dot_general(
@@ -271,11 +286,11 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, widths)
 
 
-def _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv, interpret):
+def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
+                interpret):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     group = H // Hkv
-    # kernel layout [B, H, T, D]
     qh = q.transpose(0, 2, 1, 3)
     kh = k.transpose(0, 2, 1, 3)
     vh = v.transpose(0, 2, 1, 3)
@@ -291,6 +306,7 @@ def _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv, interpre
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
@@ -311,11 +327,11 @@ def _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv, interpre
             pltpu.VMEM((block_q, D), jnp.float32),
         ],
         interpret=interpret,
-    )(segment_ids[:, None, :], segment_ids[:, None, :], qh, kh, vh)
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qh, kh, vh)
     return out.transpose(0, 2, 1, 3), lse
 
 
-def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
+def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
                 block_q, block_kv, interpret):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
@@ -338,6 +354,7 @@ def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
         ),
         grid=(B, H, nq, nkv),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
@@ -351,7 +368,7 @@ def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
-    )(segment_ids[:, None, :], segment_ids[:, None, :], qh, kh, vh, doh, lse, delta)
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qh, kh, vh, doh, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -360,6 +377,7 @@ def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
         ),
         grid=(B, H, nkv, nq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, ikv, iq: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, iq: (b, 0, ikv)),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, ikv, iq: (b, h, iq, 0)),
@@ -382,13 +400,12 @@ def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
             pltpu.VMEM((block_kv, D), jnp.float32),
         ],
         interpret=interpret,
-    )(segment_ids[:, None, :], segment_ids[:, None, :], qh, kh, vh, doh, lse, delta)
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qh, kh, vh, doh, lse, delta)
 
     dq = dq.transpose(0, 2, 1, 3)
-    # reduce dk/dv over the GQA group
     dk = dk.transpose(0, 2, 1, 3)
     dv = dv.transpose(0, 2, 1, 3)
-    if group > 1:
+    if group > 1:  # reduce dk/dv over the GQA group
         dk = dk.reshape(B, S, Hkv, group, D).sum(axis=3)
         dv = dv.reshape(B, S, Hkv, group, D).sum(axis=3)
     return dq, dk, dv
@@ -399,29 +416,28 @@ def _bwd_pallas(q, k, v, segment_ids, out, lse, do, causal, scale,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
-)
-def _flash_attention(q, k, v, segment_ids, causal, scale, block_q, block_kv,
-                     interpret):
-    out, _ = _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv,
-                         interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_attention(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
+                     block_kv, interpret):
+    out, _ = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
+                         block_q, block_kv, interpret)
     return out
 
 
-def _flash_fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv, interpret):
-    out, lse = _fwd_pallas(q, k, v, segment_ids, causal, scale, block_q, block_kv,
-                           interpret)
-    return out, (q, k, v, segment_ids, out, lse)
+def _flash_fwd(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
+               interpret):
+    out, lse = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
+                           block_q, block_kv, interpret)
+    return out, (q, k, v, q_seg, kv_seg, q_off, out, lse)
 
 
 def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
-    q, k, v, segment_ids, out, lse = res
+    q, k, v, q_seg, kv_seg, q_off, out, lse = res
     dq, dk, dv = _bwd_pallas(
-        q, k, v, segment_ids, out, lse, g, causal, scale, block_q, block_kv,
-        interpret,
+        q, k, v, q_seg, kv_seg, q_off, out, lse, g, causal, scale,
+        block_q, block_kv, interpret,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -438,17 +454,20 @@ def flash_attention(
     block_kv: int = 512,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    kv_segment_ids: Optional[jax.Array] = None,
+    q_offset=None,
 ) -> jax.Array:
     """Packed-document flash attention.
 
     Args:
         q: [B, T, H, D]; k, v: [B, S, Hkv, D] (GQA when Hkv < H).
-        segment_ids: [B, T] int32 document ids; 0 marks padding. Attention is
-            restricted to (same segment) AND (causal) positions.
-        causal: apply causal masking on absolute positions.
-        scale: softmax scale; defaults to 1/sqrt(D).
-        block_q / block_kv: kernel tile sizes (TPU lane-aligned).
-        use_pallas: force kernel path; defaults to True on TPU backends.
+        segment_ids: [B, T] int32 document ids for q; 0 marks padding.
+            Attention is restricted to (same segment) AND (causal).
+        kv_segment_ids: [B, S]; defaults to segment_ids (self-attention).
+        q_offset: global position of q row 0 (context-parallel Q sharding
+            with gathered KV); scalar int.
+        causal / scale / block_q / block_kv: kernel options.
+        use_pallas: force the kernel path; defaults to True on TPU backends.
         interpret: run the Pallas kernel in interpreter mode (debugging).
 
     Returns: [B, T, H, D] in q.dtype.
@@ -459,23 +478,35 @@ def flash_attention(
         scale = 1.0 / math.sqrt(D)
     if use_pallas is None:
         use_pallas = _on_tpu()
+    if kv_segment_ids is None and segment_ids is not None:
+        kv_segment_ids = segment_ids
     if not (use_pallas or interpret):
-        return packed_attention_reference(q, k, v, segment_ids, causal, scale)
+        return packed_attention_reference(
+            q, k, v, segment_ids, causal, scale,
+            kv_segment_ids=kv_segment_ids,
+            q_offset=0 if q_offset is None else q_offset,
+        )
 
-    assert T == S, "self-attention only (packed training path)"
     block_q = min(block_q, -(-T // 128) * 128)
     block_kv = min(block_kv, -(-S // 128) * 128)
     if segment_ids is None:
         segment_ids = jnp.ones((B, T), dtype=jnp.int32)
+        kv_segment_ids = jnp.ones((B, S), dtype=jnp.int32)
     segment_ids = segment_ids.astype(jnp.int32)
-    # pad the sequence dim to a common block multiple; padding gets segment
-    # id 0, which in packed batches marks padding and only matches itself
-    pad_mult = (block_q * block_kv) // math.gcd(block_q, block_kv)
-    qp = _pad_to(q, pad_mult, 1)
-    kp = _pad_to(k, pad_mult, 1)
-    vp = _pad_to(v, pad_mult, 1)
-    segp = _pad_to(segment_ids, pad_mult, 1)
+    kv_segment_ids = kv_segment_ids.astype(jnp.int32)
+    # pad sequence dims to block multiples; padding gets segment id 0, which
+    # in packed batches marks padding and only matches itself
+    qp = _pad_to(q, block_q, 1)
+    kp = _pad_to(k, block_kv, 1)
+    vp = _pad_to(v, block_kv, 1)
+    q_segp = _pad_to(segment_ids, block_q, 1)
+    kv_segp = _pad_to(kv_segment_ids, block_kv, 1)
+    if q_offset is None:
+        q_off = jnp.zeros((1,), jnp.int32)
+    else:
+        q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
     out = _flash_attention(
-        qp, kp, vp, segp, causal, scale, block_q, block_kv, interpret
+        qp, kp, vp, q_segp, kv_segp, q_off, causal, scale, block_q, block_kv,
+        interpret,
     )
     return out[:, :T]

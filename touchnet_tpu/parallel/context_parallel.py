@@ -1,0 +1,87 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Sharded attention: shard_map wrapper dispatching the Pallas kernel across
+# the mesh, with context-parallel sequence sharding.
+#
+# Capability parity: reference context parallel (torch experimental ring
+# attention ctx manager, touchnet/utils/distributed.py:292-346) supports two
+# KV rotation methods: "allgather" (gather KV once, compute locally) and
+# "alltoall" (ring). This module implements the allgather method via
+# lax.all_gather over the "cp" axis (XLA turns it into ICI collectives and
+# its transpose into reduce-scatter on the backward pass); the Pallas ring
+# kernel (ops/ring_attention.py) serves the alltoall method.
+#
+# The wrapper also carries the TP head sharding: inside shard_map each device
+# sees [B/dp, T/cp, H/tp, D] and runs the kernel locally — this is how a
+# Pallas custom call composes with GSPMD (explicit collectives around an
+# opaque kernel).
+
+import functools
+from typing import Optional
+
+import jax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from touchnet_tpu.ops.attention import flash_attention
+
+BATCH = ("dp_replicate", "dp_shard")
+
+
+def make_sharded_attn_fn(
+    mesh: Optional[Mesh],
+    block_q: int = 512,
+    block_kv: int = 512,
+    rotate_method: str = "allgather",
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+):
+    """Returns attn(q, k, v, segment_ids) -> out, partitioned over the mesh.
+
+    q [B, T, H, D], k/v [B, T, Hkv, D], segment_ids [B, T] — global shapes;
+    sharding: batch on dp, sequence on cp, heads on tp.
+    """
+    if mesh is None:
+        return lambda q, k, v, seg: flash_attention(
+            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    cp = mesh.shape.get("cp", 1)
+    qkv_spec = P(BATCH, "cp", "tp", None)
+    seg_spec = P(BATCH, "cp")
+
+    if rotate_method == "alltoall" and cp > 1:
+        from touchnet_tpu.ops.ring_attention import ring_attention_sharded
+
+        return ring_attention_sharded(
+            mesh, block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec),
+        out_specs=qkv_spec,
+        check_vma=False,
+    )
+    def attn(q, k, v, seg):
+        if cp > 1:
+            # allgather rotation: KV (and kv segment ids) gathered across cp,
+            # Q stays sharded; q_offset keeps global causal positions right.
+            k_full = jax.lax.all_gather(k, "cp", axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v, "cp", axis=1, tiled=True)
+            seg_full = jax.lax.all_gather(seg, "cp", axis=1, tiled=True)
+            q_off = jax.lax.axis_index("cp") * q.shape[1]
+            return flash_attention(
+                q, k_full, v_full, seg,
+                kv_segment_ids=seg_full, q_offset=q_off,
+                block_q=block_q, block_kv=block_kv,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+        return flash_attention(
+            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    return attn

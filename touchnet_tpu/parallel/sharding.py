@@ -1,0 +1,165 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Parameter & activation sharding rules (FSDP / HSDP / TP / SP / CP).
+#
+# Capability parity: reference apply_fsdp/apply_ddp/apply_tp
+# (touchnet/models/helper_func.py:134-221, touchnet/models/llama/
+# parallelize_llama.py:105-196). The DTensor plans become PartitionSpec
+# rules over the [pp, dp_replicate, dp_shard, cp, tp] mesh:
+#   FSDP (ZeRO-3)  = shard every param's largest non-TP dim on
+#                    ("dp_shard","cp") — XLA all-gathers per-layer weights
+#                    inside the scan and reduce-scatters grads, which is
+#                    exactly FSDP2's schedule;
+#   HSDP           = dp_replicate axis replicates (grad all-reduce);
+#   TP colwise     = shard output dim on "tp" (q/k/v, gate/up, lm_head);
+#   TP rowwise     = shard input dim on "tp"  (o_proj, down_proj, embed);
+#   SP             = activations sharded on seq axis between blocks is
+#                    subsumed by XLA's partitioner once params + batch are
+#                    annotated (sequence-parallel norms need no manual plan);
+#   loss parallel  = keep logits sharded on vocab ("tp") and use the
+#                    vocab-parallel CE (parallel/loss_parallel.py).
+
+import re
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+FSDP_AXES = ("dp_shard", "cp")
+TP_AXIS = "tp"
+BATCH_AXES = ("dp_replicate", "dp_shard")
+
+
+# Rules: regex over the param tree path -> PartitionSpec FOR THE STACKED
+# layout ([L, out, in] for scanned layers). First match wins.
+LLAMA_PARAM_RULES = [
+    # embeddings: vocab rowwise on tp, embed dim on fsdp
+    (r"model/embed_tokens/weight", P(TP_AXIS, FSDP_AXES)),
+    (r"lm_head/weight", P(TP_AXIS, FSDP_AXES)),
+    # norms: replicate (tiny)
+    (r".*layernorm/weight", P(None, None)),
+    (r"model/norm/weight", P(None)),
+    # attention projections (stacked [L, out, in])
+    (r".*self_attn/(q|k|v)_proj/weight", P(None, TP_AXIS, FSDP_AXES)),
+    (r".*self_attn/o_proj/weight", P(None, FSDP_AXES, TP_AXIS)),
+    # mlp
+    (r".*mlp/(gate|up)_proj/weight", P(None, TP_AXIS, FSDP_AXES)),
+    (r".*mlp/down_proj/weight", P(None, FSDP_AXES, TP_AXIS)),
+    # audio projector (touch_audio): rowwise like the reference plan
+    (r".*projector/weight", P(None, TP_AXIS)),
+    (r".*projector/bias", P(None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path_str: str, rules) -> P:
+    for pattern, spec in rules:
+        if re.fullmatch(pattern, path_str):
+            return spec
+    return P()  # replicate by default
+
+
+def _shrink_spec_to_shape(spec: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes whose size doesn't divide the dim (e.g. tp=1 noop is
+    always fine; a 3-dim shard over a 2-sized dim is not)."""
+    out = []
+    for dim, entry in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if entry is None:
+            out.append(None)
+            continue
+        axes = entry if isinstance(entry, tuple) else (entry,)
+        axes = [a for a in axes if mesh.shape.get(a, 1) > 1]
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        if size > 1 and dim % size == 0:
+            out.append(tuple(axes) if len(axes) > 1 else axes[0])
+        else:
+            out.append(None)
+    return P(*out)
+
+
+def param_shardings(
+    params: Any, mesh: Mesh, rules=None, dp_shard_only: bool = False
+) -> Any:
+    """PartitionSpec pytree for a param pytree. ``dp_shard_only`` disables TP
+    sharding (DDP/FSDP-only models like qwen2_audio/kimi_audio, reference
+    parallelize_qwen2_audio.py:38-40)."""
+    rules = rules if rules is not None else LLAMA_PARAM_RULES
+    if dp_shard_only:
+        rules = [
+            (pat, P(*[
+                tuple(a for a in (e if isinstance(e, tuple) else (e,))
+                      if a != TP_AXIS) or None
+                if e is not None else None
+                for e in spec
+            ]))
+            for pat, spec in rules
+        ]
+
+    def one(path, leaf):
+        spec = spec_for_path(_path_str(path), rules)
+        return _shrink_spec_to_shape(spec, leaf.shape, mesh)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def named_shardings(params: Any, mesh: Mesh, rules=None) -> Any:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_shardings(params, mesh, rules),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+ACTIVATION_SPECS: Dict[str, P] = {
+    # batch on dp, seq on cp, embed replicated (tp handled by XLA propagation)
+    "btd": P(BATCH_AXES, "cp", None),
+    # logits: batch on dp, seq on cp, vocab on tp (loss parallel keeps this)
+    "btv": P(BATCH_AXES, "cp", TP_AXIS),
+    "bt": P(BATCH_AXES, "cp"),
+}
+
+
+def make_shard_fn(mesh: Optional[Mesh], loss_parallel: bool = True):
+    """Activation-constraint callback handed to model forwards."""
+    if mesh is None:
+        return lambda x, kind: x
+
+    def shard(x, kind: str):
+        spec = ACTIVATION_SPECS.get(kind)
+        if spec is None:
+            return x
+        if kind == "btv" and not loss_parallel:
+            spec = P(BATCH_AXES, "cp", None)
+        spec = _shrink_spec_to_shape(spec, x.shape, mesh)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return shard
+
+
+def batch_specs(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Input-batch shardings: every per-position tensor shards identically on
+    (dp, cp) — the property that makes packing CP-compatible (reference
+    docs/TouchAudioForCausalLM.md:10)."""
+
+    def one(x):
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            spec = P(BATCH_AXES, "cp")
+        elif hasattr(x, "ndim") and x.ndim == 1:
+            spec = P(BATCH_AXES)
+        else:
+            spec = P()
+        return NamedSharding(mesh, _shrink_spec_to_shape(spec, getattr(x, "shape", ()), mesh))
+
+    return jax.tree.map(one, batch)

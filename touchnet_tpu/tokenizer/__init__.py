@@ -21,3 +21,9 @@ class TokenizerConfig:
     tokenizer_bestrq_emb_size: int = field(default=16)
     tokenizer_bestrq_init_seed: int = field(default=2025)
     tokenizer_bestrq_init_method: str = field(default="default")
+    # RawTokenizer: pre-tokenized streams (texttoken datatype) without an HF
+    # tokenizer dependency — ids pass through, only special ids are needed.
+    tokenizer_raw_vocab_size: int = field(default=32768)
+    tokenizer_raw_bos_id: int = field(default=1)
+    tokenizer_raw_eos_id: int = field(default=2)
+    tokenizer_raw_pad_id: int = field(default=0)

@@ -227,10 +227,51 @@ class BestRQTokenizer(BaseTokenizer):
         return None
 
 
+class RawTokenizer(BaseTokenizer):
+    """Identity tokenizer for pre-tokenized (texttoken) pipelines: exposes
+    vocab size and special ids without any external model."""
+
+    def __init__(self, config: TokenizerConfig, **kwargs):
+        super().__init__("raw", **kwargs)
+        self._config = config
+
+    def tokenize(self, inputs, **kwargs):
+        return list(inputs)
+
+    def detokenize(self, ids, **kwargs):
+        return list(ids)
+
+    @property
+    def vocab(self):
+        return None
+
+    @property
+    def inv_vocab(self):
+        return None
+
+    @property
+    def vocab_size(self):
+        return self._config.tokenizer_raw_vocab_size
+
+    @property
+    def bos(self):
+        return self._config.tokenizer_raw_bos_id
+
+    @property
+    def eos(self):
+        return self._config.tokenizer_raw_eos_id
+
+    @property
+    def pad(self):
+        return self._config.tokenizer_raw_pad_id
+
+
 def build_tokenizer(args: TokenizerConfig, **kwargs):
     if args.tokenizer_type == "HuggingFaceTokenizer":
         return HuggingFaceTokenizer(args, **kwargs)
     elif args.tokenizer_type == "BestRQTokenizer":
         return BestRQTokenizer(args, **kwargs)
+    elif args.tokenizer_type == "RawTokenizer":
+        return RawTokenizer(args, **kwargs)
     else:
         raise NotImplementedError(f"{args.tokenizer_type} tokenizer is not implemented.")

@@ -1,0 +1,204 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Checkpointing: Orbax-backed manager with the reference's workflow.
+#
+# Capability parity: reference touchnet/utils/checkpoint.py:43-557
+# (CheckpointManager on torch DCP): step_N dirs (Orbax naming), interval + force-final
+# cadence with step-1 fail-fast, async save, keep-latest-k purge, step-0 =
+# model-only seed checkpoint (hf->ckpt converter output), ckpt_load_step -1 =
+# latest, exclude_from_loading, final model-weights-only export with dtype.
+# Orbax replaces DCP: async saves run in a background thread with device->host
+# staging (the analog of the reference's pinned-memory staging process), and
+# restore is resharding-aware via abstract target trees + NamedShardings.
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from touchnet_tpu.utils.logging import logger
+
+MODEL = "model"
+OPTIMIZER = "optimizer"
+DATALOADER = "dataloader"
+TRAIN_STATE = "train_state"
+
+
+class CheckpointManager:
+    """Save/load of {model params, optimizer state, dataloader, step}."""
+
+    def __init__(
+        self,
+        dataloader,
+        job_config,
+        optimizer_state_getter=None,
+    ):
+        self.enabled = job_config.training_enable_ckpt
+        self.job_config = job_config
+        self.dataloader = dataloader
+        self.folder = os.path.join(
+            job_config.training_trace_dump_folder, job_config.training_ckpt_folder
+        )
+        self.interval = job_config.training_ckpt_interval
+        self.keep_latest_k = job_config.training_ckpt_keep_latest_k
+        self._mgr = None
+        if not self.enabled:
+            return
+        os.makedirs(self.folder, exist_ok=True)
+        async_mode = job_config.training_ckpt_async_mode.lower()
+        options = ocp.CheckpointManagerOptions(
+            step_prefix="step",
+            max_to_keep=(self.keep_latest_k if self.keep_latest_k > 0 else None),
+            enable_async_checkpointing=async_mode in ("async", "async_with_pinned_mem"),
+            create=True,
+        )
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(self.folder), options=options
+        )
+        logger.info(
+            f"CheckpointManager at {self.folder} "
+            f"(async={async_mode!r}, keep={self.keep_latest_k})"
+        )
+
+    # -- cadence -----------------------------------------------------------
+    def _should_save(self, step: int, force: bool = False) -> bool:
+        if not self.enabled:
+            return False
+        # step-1 fail-fast save proves checkpointing works before a long run
+        return force or step == 1 or step % self.interval == 0
+
+    def save(self, step: int, params, opt_state, force: bool = False) -> bool:
+        if not self._should_save(step, force):
+            return False
+        composite = dict(
+            model=ocp.args.StandardSave(_to_savable(params)),
+            optimizer=ocp.args.StandardSave(_to_savable(opt_state)),
+            train_state=ocp.args.JsonSave({"step": int(step)}),
+        )
+        if self.dataloader is not None:
+            composite["dataloader"] = ocp.args.JsonSave(
+                _jsonify(self.dataloader.state_dict())
+            )
+        self._mgr.save(step, args=ocp.args.Composite(**composite), force=True)
+        logger.info(f"checkpoint queued for step {step}")
+        return True
+
+    def maybe_wait_for_staging(self):
+        """Fence before optimizer state mutation (reference
+        maybe_wait_for_staging, checkpoint.py:373-406). Orbax's async save
+        snapshots to host before returning, so this is only a safety join."""
+        return
+
+    def wait_until_finished(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+
+    # -- load --------------------------------------------------------------
+    def _find_load_step(self) -> Optional[int]:
+        if self._mgr is None:
+            return None
+        step = self.job_config.training_ckpt_load_step
+        if step != -1:
+            return step if step in self._mgr.all_steps() else None
+        return self._mgr.latest_step()
+
+    def load(self, params, opt_state) -> Dict[str, Any]:
+        """Restore in-place-style: returns dict with possibly-updated
+        params/opt_state/step and applies dataloader state. Step 0 = seed
+        checkpoint: model weights only."""
+        out = {"params": params, "opt_state": opt_state, "step": 0, "loaded": False}
+        if not self.enabled or self._mgr is None:
+            return out
+        step = self._find_load_step()
+        if step is None:
+            logger.info("no checkpoint found; starting fresh")
+            return out
+        exclude = {
+            s.strip()
+            for s in self.job_config.training_ckpt_exclude_from_loading.split(",")
+            if s.strip()
+        }
+        restore = dict(
+            model=ocp.args.StandardRestore(_abstract(params)),
+        )
+        if step != 0:
+            if OPTIMIZER not in exclude and opt_state is not None:
+                restore["optimizer"] = ocp.args.StandardRestore(_abstract(opt_state))
+            if DATALOADER not in exclude and self.dataloader is not None:
+                restore["dataloader"] = ocp.args.JsonRestore()
+            restore["train_state"] = ocp.args.JsonRestore()
+        result = self._mgr.restore(step, args=ocp.args.Composite(**restore))
+        out["params"] = _from_savable(result["model"], params)
+        if step != 0:
+            if "optimizer" in restore and result.get("optimizer") is not None:
+                out["opt_state"] = _from_savable(result["optimizer"], opt_state)
+            if "dataloader" in restore and result.get("dataloader") is not None:
+                self.dataloader.load_state_dict(
+                    _dejsonify(result["dataloader"])
+                )
+            out["step"] = int(result["train_state"]["step"])
+        out["loaded"] = True
+        logger.info(f"restored checkpoint step {step}")
+        return out
+
+    def close(self):
+        if self._mgr is not None:
+            self._mgr.wait_until_finished()
+            self._mgr.close()
+
+
+# -- pytree plumbing -------------------------------------------------------
+# Orbax StandardSave wants trees of arrays; optax states are NamedTuples,
+# which Orbax handles as pytrees but restores as lists — we flatten to a
+# {index_path: leaf} dict and rebuild with the reference tree structure.
+
+
+def _to_savable(tree):
+    leaves, _ = jax.tree_util.tree_flatten(tree)
+    return {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+
+
+def _abstract(tree):
+    def absify(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
+    return jax.tree.map(absify, _to_savable(tree))
+
+
+def _from_savable(saved: Dict[str, Any], reference_tree):
+    _, treedef = jax.tree_util.tree_flatten(reference_tree)
+    leaves = [saved[f"leaf_{i}"] for i in range(len(saved))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _jsonify(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+def _dejsonify(obj):
+    return obj
+
+
+def export_weights_only(params, folder: str, dtype: Optional[str] = None):
+    """Final model-weights-only export (reference weights-only final save with
+    export dtype, checkpoint.py:290-334)."""
+    import jax.numpy as jnp
+
+    if dtype is not None:
+        jdt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+               "float16": jnp.float16}[dtype]
+        params = jax.tree.map(lambda x: x.astype(jdt), params)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(folder), _to_savable(params))
+    ckptr.wait_until_finished()
