@@ -3,7 +3,7 @@
 # Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 # Metric = model FLOPS utilization (MFU, %) of a full training step
 # (fwd+bwd+AdamW) on a ~1B-param Llama with packed 8192-token sequences —
-# the reference's headline text-pretrain config (BASELINE.md: Llama-3.2-1B,
+# sized to one chip; the reference headline text-pretrain config (BASELINE.md: Llama-3.2-1B,
 # packed 1x16384 on A100-class GPUs; no MFU number published).
 # vs_baseline divides by 40% — a strong A100 MFU for this workload class —
 # per BASELINE.json's ">=1.2x A100-equivalent MFU" north star.
@@ -86,12 +86,14 @@ def main():
     from touchnet_tpu.utils.metrics import get_peak_flops
 
     batch, seqlen = 1, 8192
+    # ~0.5B: the largest that fits one 16-GiB v5e chip with fp32 master
+    # params + fp32 Adam moments and packed-8k activations under full remat
     config_kw = dict(
         vocab_size=32768,
-        hidden_size=2048,
-        intermediate_size=8192,
-        num_hidden_layers=16,
-        num_attention_heads=32,
+        hidden_size=1536,
+        intermediate_size=6144,
+        num_hidden_layers=14,
+        num_attention_heads=24,
         num_key_value_heads=8,
         tie_word_embeddings=True,
         attn_implementation="flash" if jax.default_backend() == "tpu" else "eager",
@@ -113,7 +115,7 @@ def main():
     peak = get_peak_flops()
     mfu = 100.0 * fpt * tokens_per_sec / peak
     result = {
-        "metric": "mfu_llama1b_packed8k_1chip",
+        "metric": "mfu_llama500m_packed8k_1chip",
         "value": round(mfu, 2),
         "unit": "%",
         "vs_baseline": round(mfu / BASELINE_MFU, 3),

@@ -116,3 +116,65 @@ def test_train_ckpt_resume(tmp_path):
     )
     trainer = run_trainer(argv)
     assert trainer.step == 6
+
+
+@pytest.mark.slow
+def test_train_touch_audio_bestrq_e2e(tmp_path):
+    """Audio pretrain slice: wav shards -> fbank/specaug/stack -> BestRQ
+    codes -> packed NTP training on the touch_audio model."""
+    import json
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(0)
+    jsonl = tmp_path / "data.jsonl"
+    with open(jsonl, "w") as f:
+        for i in range(8):
+            wav = (rng.standard_normal(16000) * 3000).astype(np.int16)
+            path = tmp_path / f"utt{i}.wav"
+            wavfile.write(path, 16000, wav)
+            f.write(json.dumps({"key": f"utt{i}", "wav": str(path)}) + "\n")
+    from touchnet_tpu.bin.make_data import main as make_data_main
+
+    make_data_main([
+        "--save_dir", str(tmp_path / "shards"),
+        "--jsonl_path", str(jsonl),
+        "--num_utt_per_shard", "4",
+        "--num_workers", "1",
+        "--datatypes", "audio+metainfo",
+    ])
+
+    args = {
+        "tokenizer_type": "BestRQTokenizer",
+        "tokenizer_bestrq_vocab_size": "64",
+        "tokenizer_bestrq_input_size": "161",
+        "datapipe_type": "touch_audio",
+        "dataset_enable_pack": "true",
+        "datalist_path": str(tmp_path / "shards" / "data.list"),
+        "datalist_epoch": "50",
+        "dataset_batchsize": "1",
+        "dataset_audio_seqlen": "256",
+        "dataset_text_seqlen": "256",
+        "audio_min_length_in_ms_for_filter": "10",
+        "audio_speed_perturb": "false",
+        "dataloader_num_workers": "1",
+        "training_model_name": "touch_audio",
+        "training_model_config_path": os.path.join(
+            os.path.dirname(CFG), "tiny_touch_audio.json"
+        ),
+        "training_trace_dump_folder": str(tmp_path / "exp"),
+        "training_log_freq": "1",
+        "training_seed": "0",
+        "training_data_parallel_shard_degree": "2",
+        "training_tensor_parallel_degree": "2",
+        "training_context_parallel_degree": "2",
+        "training_mixed_precision_param": "float32",
+        "training_activation_checkpoint_mode": "none",
+        "lr_scheduler_steps": "3",
+        "lr_scheduler_warmup_steps": "1",
+        "optimizer_lr": "1e-3",
+    }
+    argv = []
+    for k, v in args.items():
+        argv += [f"--{k}", v]
+    trainer = run_trainer(argv)
+    assert trainer.step == 3

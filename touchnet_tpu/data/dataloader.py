@@ -54,6 +54,7 @@ class _Worker:
         self._thread: Optional[threading.Thread] = None
         self._iter = None
         self._exhausted = False
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
 
     def start(self):
@@ -76,10 +77,14 @@ class _Worker:
                         continue
                 if self._stop.is_set():
                     return
-        finally:
+        except BaseException as e:  # surface worker crashes to the consumer
+            self._error = e
             if not self._stop.is_set():
-                # final state (epoch counters advance when the generator ends)
-                self._queue.put((_SENTINEL, copy.deepcopy(self.pipe.state_dict())))
+                self._queue.put((_SENTINEL, None))
+            return
+        if not self._stop.is_set():
+            # final state (epoch counters advance when the generator ends)
+            self._queue.put((_SENTINEL, copy.deepcopy(self.pipe.state_dict())))
 
     def next(self):
         """Returns a batch or _SENTINEL when exhausted. Updates consumed_state."""
@@ -89,6 +94,8 @@ class _Worker:
             batch, state = self._queue.get()
             if batch is _SENTINEL:
                 self._exhausted = True
+                if self._error is not None:
+                    raise self._error
                 if state is not None:
                     self.consumed_state = state
                 return _SENTINEL
