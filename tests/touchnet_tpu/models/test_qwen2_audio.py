@@ -1,0 +1,211 @@
+# Qwen2-Audio tests: whisper-encoder parity vs HF transformers, audio-token
+# merge semantics, dynamic batcher, and a sharded train-step smoke.
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.data import DataConfig
+from touchnet_tpu.models import whisper_encoder
+from touchnet_tpu.models.qwen2_audio.configuration_qwen2_audio import (
+    Qwen2AudioConfig,
+)
+from touchnet_tpu.models.qwen2_audio.modeling_qwen2_audio import (
+    forward,
+    get_num_params,
+    init_params,
+    merge_audio_into_text,
+)
+from touchnet_tpu.models.qwen2_audio.processing_qwen2_audio import (
+    dynamic_batch,
+    whisper_features,
+)
+
+TINY = {
+    "audio_token_index": 60,
+    "audio_config": {
+        "num_mel_bins": 32,
+        "d_model": 64,
+        "encoder_layers": 2,
+        "encoder_attention_heads": 4,
+        "encoder_ffn_dim": 128,
+        "max_source_positions": 100,
+    },
+    "text_config": {
+        "vocab_size": 64,
+        "hidden_size": 64,
+        "intermediate_size": 128,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "num_key_value_heads": 2,
+        "attention_bias": True,
+        "attn_implementation": "eager",
+    },
+}
+
+
+def test_whisper_encoder_matches_hf():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    cfg = whisper_encoder.WhisperEncoderConfig(
+        num_mel_bins=32, d_model=64, encoder_layers=2,
+        encoder_attention_heads=4, encoder_ffn_dim=128, max_source_positions=50,
+    )
+    params = whisper_encoder.init_params(cfg, jax.random.PRNGKey(0))
+
+    hf_cfg = transformers.WhisperConfig(
+        num_mel_bins=32, d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_dim=128, max_source_positions=50, decoder_layers=1,
+        attn_implementation="eager",
+    )
+    hf = transformers.models.whisper.modeling_whisper.WhisperEncoder(hf_cfg).eval()
+
+    from touchnet_tpu.models.qwen2_audio.convert import tower_from_hf, tower_to_hf
+
+    sd = tower_to_hf(jax.tree.map(np.asarray, params), 2, prefix="")
+    sd_t = {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
+    missing, unexpected = hf.load_state_dict(sd_t, strict=False)
+    assert not unexpected, unexpected
+
+    feats = np.random.default_rng(0).standard_normal((2, 32, 100)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(feats)).last_hidden_state.numpy()
+    got = whisper_encoder.forward(
+        params, jnp.asarray(feats), cfg, compute_dtype=jnp.float32,
+        causal=False, use_pallas=False, apply_final_layer_norm=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-4, rtol=3e-4)
+
+    # round-trip through the converter preserves the tree
+    rebuilt = tower_from_hf(sd, 2, prefix="")
+    for a, b in zip(jax.tree.leaves(rebuilt), jax.tree.leaves(jax.tree.map(np.asarray, params))):
+        np.testing.assert_allclose(a, b)
+
+
+def test_merge_audio_into_text():
+    B, L, Ta, E = 2, 8, 3, 4
+    text = jnp.zeros((B, L, E))
+    audio = jnp.arange(B * Ta * E, dtype=jnp.float32).reshape(B, Ta, E)
+    ids = np.zeros((B, L), np.int32)
+    ids[0, 2:5] = 9  # audio tokens at 2,3,4
+    ids[1, 0:3] = 9
+    out = merge_audio_into_text(text, audio, jnp.asarray(ids), 9)
+    np.testing.assert_allclose(np.asarray(out[0, 2]), np.asarray(audio[0, 0]))
+    np.testing.assert_allclose(np.asarray(out[0, 4]), np.asarray(audio[0, 2]))
+    np.testing.assert_allclose(np.asarray(out[1, 2]), np.asarray(audio[1, 2]))
+    assert float(jnp.abs(out[0, 0]).sum()) == 0.0  # text positions untouched
+
+
+class _FakeFrontend:
+    audio_token = "<|AUDIO|>"
+    audio_bos = "<|audio_bos|>"
+    audio_eos = "<|audio_eos|>"
+    pad_id = 0
+    eos_id = 2
+
+    def extract(self, waveform, sample_rate):
+        n = max(8, waveform.size // 160)
+        feats = np.ones((n, 4), np.float32)
+        return feats, np.ones(n, np.int32)
+
+    def tokenize(self, text):
+        # crude: special tokens -> fixed ids, everything else char buckets
+        ids = []
+        while text:
+            if text.startswith("<|AUDIO|>"):
+                ids.append(60)
+                text = text[len("<|AUDIO|>"):]
+            elif text.startswith("<|audio_bos|>"):
+                ids.append(58)
+                text = text[len("<|audio_bos|>"):]
+            elif text.startswith("<|audio_eos|>"):
+                ids.append(59)
+                text = text[len("<|audio_eos|>"):]
+            else:
+                ids.append(3 + (ord(text[0]) % 50))
+                text = text[1:]
+        return ids
+
+
+def test_dynamic_batch_semantics():
+    cfg = DataConfig(dataset_batchsize=1, dataset_text_seqlen=64,
+                     dataloader_drop_last_batch=False)
+    samples = [
+        {"waveform": np.zeros((1, 1600), np.float32), "sample_rate": 16000,
+         "txt": "hi"},
+    ]
+    batches = list(dynamic_batch(iter(samples), cfg, _FakeFrontend()))
+    assert len(batches) == 1
+    b = batches[0]
+    n_audio_frames = 10  # 1600 samples -> 10 frames via fake frontend... >=8
+    # prompt carries expanded audio tokens; labels mask the prompt
+    n_prompt = int((b["labels"][0] == -100).sum()) + 1
+    assert (b["input_ids"][0, :n_prompt] == 60).sum() > 0
+    resp_len = int((b["labels"][0] != -100).sum())
+    assert resp_len == 3  # "hi" -> 2 ids + eos
+    np.testing.assert_array_equal(
+        b["sentence_lens"][0], np.full_like(b["sentence_lens"][0], 3)
+    )
+    assert b["input_features"].shape[1] == 4  # [B, mel, T]
+
+
+def test_whisper_features_padding():
+    wav = np.zeros(16000, np.float32)  # 1 s
+    feats, mask = whisper_features(wav, 16000, n_mels=32)
+    assert feats.shape == (3000, 32)  # padded to 30 s
+    assert mask[:100].all() and not mask[200:].any()
+
+
+@pytest.mark.slow
+def test_sharded_train_step_smoke():
+    """fwd+bwd+update of the full qwen2_audio model on an FSDP-8 mesh."""
+    import optax
+
+    from touchnet_tpu.loss import cross_entropy_loss
+    from touchnet_tpu.parallel.dims import ParallelDims
+    from touchnet_tpu.parallel.sharding import named_shardings
+
+    config = Qwen2AudioConfig.from_dict(TINY)
+    params = init_params(config, jax.random.PRNGKey(0))
+    assert sum(x.size for x in jax.tree.leaves(params)) == get_num_params(config) + (
+        config.audio_config.max_source_positions * config.audio_config.d_model
+    )  # pos table is a buffer, excluded from num_params
+
+    pd = ParallelDims(world_size=8, dp_shard=8)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(params, named_shardings(params, mesh))
+
+    B, L, T_mel = 8, 32, 64
+    ids = np.random.default_rng(0).integers(3, 50, (B, L)).astype(np.int32)
+    ids[:, 4:12] = config.audio_token_index  # 8 audio tokens per row
+    feats = np.random.default_rng(1).standard_normal(
+        (B, config.audio_config.num_mel_bins, T_mel)
+    ).astype(np.float32)
+    labels = np.where(np.arange(L)[None] > 12, ids, -100).astype(np.int32)
+    slens = np.full((B, L), 20, np.int32)
+
+    tx = optax.adamw(1e-4)
+    opt_state = jax.jit(tx.init)(sharded)
+
+    def loss_fn(p):
+        logits = forward(
+            p, input_ids=jnp.asarray(ids), input_features=jnp.asarray(feats),
+            config=config, compute_dtype=jnp.float32,
+        )
+        loss, _ = cross_entropy_loss(
+            logits, jnp.asarray(labels), jnp.asarray(slens),
+            jnp.asarray(float(B)),
+        )
+        return loss
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    with mesh:
+        sharded, opt_state, loss = step(sharded, opt_state)
+    assert np.isfinite(float(loss))

@@ -59,6 +59,7 @@ _BATCH_ARRAY_KEYS = (
     "shift_labels",
     "position_ids",
     "attention_mask",
+    "feature_attention_mask",
     "sentence_lens",
 )
 
@@ -267,8 +268,8 @@ class Trainer:
             self.mesh, self.parallel_dims.loss_parallel_enabled
         )
         kwargs = dict(
-            segment_ids=batch["attention_mask"],
-            position_ids=batch["position_ids"],
+            segment_ids=batch.get("attention_mask"),
+            position_ids=batch.get("position_ids"),
             config=self.model_config,
             compute_dtype=_dtype(cfg.training_mixed_precision_param),
             attn_fn=attn_fn,
@@ -279,6 +280,8 @@ class Trainer:
             kwargs["inputs_embeds"] = batch["inputs_embeds"]
         if batch.get("input_features") is not None:
             kwargs["input_features"] = batch["input_features"]
+        if batch.get("feature_attention_mask") is not None:
+            kwargs["feature_attention_mask"] = batch["feature_attention_mask"]
         if batch.get("input_ids") is not None:
             kwargs["input_ids"] = batch["input_ids"]
         return self.train_spec.forward_fn(params, **kwargs)

@@ -56,6 +56,15 @@ def params_from_hf_state_dict(
             ]
         )
         _set(params["model"]["layers"], path, stacked)
+        bias_key = f"{prefix}model.layers.0.{hf_key}.bias"
+        if bias_key in sd:  # Qwen2-style q/k/v biases
+            stacked_b = np.stack(
+                [
+                    np.asarray(sd[f"{prefix}model.layers.{l}.{hf_key}.bias"])
+                    for l in range(L)
+                ]
+            )
+            _set(params["model"]["layers"], path[:-1] + ("bias",), stacked_b)
     _set(params, ("model", "norm", "weight"), np.asarray(sd[f"{prefix}model.norm.weight"]))
     if not config.tie_word_embeddings:
         lm_key = f"{prefix}lm_head.weight"
@@ -81,6 +90,12 @@ def params_to_hf_state_dict(
         stacked = np.asarray(_get(params["model"]["layers"], path))
         for l in range(L):
             sd[f"{prefix}model.layers.{l}.{hf_key}.weight"] = stacked[l]
+        try:
+            stacked_b = np.asarray(_get(params["model"]["layers"], path[:-1] + ("bias",)))
+        except KeyError:
+            continue
+        for l in range(L):
+            sd[f"{prefix}model.layers.{l}.{hf_key}.bias"] = stacked_b[l]
     sd[f"{prefix}model.norm.weight"] = np.asarray(_get(params, ("model", "norm", "weight")))
     if not config.tie_word_embeddings and "lm_head" in params:
         sd[f"{prefix}lm_head.weight"] = np.asarray(params["lm_head"]["weight"])

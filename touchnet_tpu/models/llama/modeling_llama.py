@@ -56,15 +56,22 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     def w(k, shape):
         return normal_init(k, shape, std=std, dtype=dtype)
 
+    def proj(k, out_dim, in_dim, bias):
+        p = {"weight": w(k, (L, out_dim, in_dim))}
+        if bias:
+            p["bias"] = jnp.zeros((L, out_dim), dtype)
+        return p
+
+    ab = config.attention_bias  # Qwen2-style q/k/v biases (o_proj stays bias-free)
     params = {
         "model": {
             "embed_tokens": {"weight": w(next(keys), (V, E))},
             "layers": {
                 "input_layernorm": {"weight": jnp.ones((L, E), dtype)},
                 "self_attn": {
-                    "q_proj": {"weight": w(next(keys), (L, H * Dh, E))},
-                    "k_proj": {"weight": w(next(keys), (L, Hkv * Dh, E))},
-                    "v_proj": {"weight": w(next(keys), (L, Hkv * Dh, E))},
+                    "q_proj": proj(next(keys), H * Dh, E, ab),
+                    "k_proj": proj(next(keys), Hkv * Dh, E, ab),
+                    "v_proj": proj(next(keys), Hkv * Dh, E, ab),
                     "o_proj": {"weight": w(next(keys), (L, E, H * Dh))},
                 },
                 "post_attention_layernorm": {"weight": jnp.ones((L, E), dtype)},
@@ -108,13 +115,20 @@ def decoder_layer(
     Dh = config.head_dim
 
     normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
-    q = linear(normed, lp["self_attn"]["q_proj"]["weight"]).reshape(B, T, H, Dh)
-    k = linear(normed, lp["self_attn"]["k_proj"]["weight"]).reshape(B, T, Hkv, Dh)
-    v = linear(normed, lp["self_attn"]["v_proj"]["weight"]).reshape(B, T, Hkv, Dh)
+    sa = lp["self_attn"]
+    q = linear(normed, sa["q_proj"]["weight"], sa["q_proj"].get("bias")).reshape(
+        B, T, H, Dh
+    )
+    k = linear(normed, sa["k_proj"]["weight"], sa["k_proj"].get("bias")).reshape(
+        B, T, Hkv, Dh
+    )
+    v = linear(normed, sa["v_proj"]["weight"], sa["v_proj"].get("bias")).reshape(
+        B, T, Hkv, Dh
+    )
     q, k = apply_rope(q, k, cos_sin_posids, inv_freq)
     attn = attn_fn(q, k, v, segment_ids)
     h = h + shard_fn(
-        linear(attn.reshape(B, T, H * Dh), lp["self_attn"]["o_proj"]["weight"]),
+        linear(attn.reshape(B, T, H * Dh), sa["o_proj"]["weight"]),
         "btd",
     )
     normed = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
@@ -209,6 +223,8 @@ def get_num_params(config: LlamaConfig, exclude_embedding: bool = False) -> int:
         + (H * Dh + 2 * Hkv * Dh) * E + E * H * Dh  # attention
         + 3 * inter * E  # mlp
     )
+    if config.attention_bias:
+        per_layer += H * Dh + 2 * Hkv * Dh
     n = V * E + L * per_layer + E
     if not config.tie_word_embeddings:
         n += V * E

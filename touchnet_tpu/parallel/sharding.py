@@ -62,11 +62,13 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def spec_for_path(path_str: str, rules) -> P:
+def spec_for_path(path_str: str, rules):
+    """Matched spec, or None when no rule matches (callers may then apply a
+    generic FSDP fallback; an explicit empty P() in a rule means replicate)."""
     for pattern, spec in rules:
         if re.fullmatch(pattern, path_str):
             return spec
-    return P()  # replicate by default
+    return None
 
 
 def _shrink_spec_to_shape(spec: P, shape, mesh: Mesh) -> P:
@@ -108,8 +110,28 @@ def param_shardings(
         ]
 
     def one(path, leaf):
-        spec = spec_for_path(_path_str(path), rules)
-        return _shrink_spec_to_shape(spec, leaf.shape, mesh)
+        matched = spec_for_path(_path_str(path), rules)
+        spec = _shrink_spec_to_shape(
+            matched if matched is not None else P(), leaf.shape, mesh
+        )
+        if matched is None and leaf.ndim >= 2:
+            # generic ZeRO-3 fallback: shard the largest divisible dim on the
+            # fsdp axes (reference fully_shards EVERY module; unmatched params
+            # like the qwen2_audio/kimi_audio towers still deserve FSDP)
+            fsdp = 1
+            for a in FSDP_AXES:
+                fsdp *= mesh.shape.get(a, 1)
+            if fsdp > 1:
+                dims = sorted(
+                    range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True
+                )
+                for d in dims:
+                    if leaf.shape[d] % fsdp == 0 and leaf.shape[d] >= fsdp:
+                        entry = [None] * leaf.ndim
+                        entry[d] = FSDP_AXES
+                        spec = _shrink_spec_to_shape(P(*entry), leaf.shape, mesh)
+                        break
+        return spec
 
     return jax.tree_util.tree_map_with_path(one, params)
 
