@@ -1,0 +1,285 @@
+# Kimi-Audio tests: dual-stream fusion, mimo fork, frozen VQ tokenizer,
+# dynamic batcher, and a train-step smoke with freeze verification.
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.data import DataConfig
+from touchnet_tpu.models.kimi_audio.configuration_kimi_audio import KimiAudioConfig
+from touchnet_tpu.models.kimi_audio.modeling_kimi_audio import (
+    _mask_between_markers,
+    forward,
+    get_num_params,
+    init_params,
+    speech_tokenizer_forward,
+    vector_quantize,
+)
+from touchnet_tpu.models.kimi_audio.processing_kimi_audio import dynamic_batch
+
+TINY = {
+    "vocab_size": 256,
+    "hidden_size": 64,
+    "intermediate_size": 128,
+    "num_hidden_layers": 4,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "attn_implementation": "eager",
+    "kimia_mimo_layers": 2,
+    "kimia_mimo_transformer_from_layer_index": 1,
+    "kimia_adaptor_input_dim": 128,  # 4 * whisper d_model
+    "kimia_token_offset": 100,
+    "kimia_media_begin": 200,
+    "kimia_media_end": 201,
+    "speech_encoder_config": {
+        "num_mel_bins": 16, "d_model": 32, "encoder_layers": 2,
+        "encoder_attention_heads": 4, "encoder_ffn_dim": 64,
+        "max_source_positions": 100,
+    },
+    "speech_tokenizer_config": {
+        "num_mel_bins": 16, "d_model": 32, "encoder_attention_heads": 4,
+        "encoder_ffn_dim": 64, "max_source_positions": 100,
+        "pooling_kernel_size": 4, "pooling_position": 2,
+        "quantize_position": 2, "quantize_vocab_size": 32,
+        "quantize_causal_block_size": 8,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = KimiAudioConfig.from_dict(TINY)
+    params = init_params(config, jax.random.PRNGKey(0))
+    return config, params
+
+
+def test_mask_between_markers():
+    ids = np.zeros((2, 10), np.int32)
+    ids[0, 2] = 200
+    ids[0, 7] = 201
+    ids[1, 0] = 200
+    ids[1, 4] = 201
+    m = np.asarray(_mask_between_markers(jnp.asarray(ids), 200, 201))
+    assert m[0].tolist() == [False, False, False, True, True, True, True,
+                             False, False, False]
+    assert m[1].tolist() == [False, True, True, True, False] + [False] * 5
+    # row without markers: all False
+    ids2 = np.zeros((1, 5), np.int32)
+    m2 = np.asarray(_mask_between_markers(jnp.asarray(ids2), 200, 201))
+    assert not m2.any()
+
+
+def test_vector_quantize_nearest():
+    cb = jnp.asarray(np.eye(4, dtype=np.float32) * 2)
+    h = jnp.asarray([[[1.9, 0, 0, 0], [0, 0, 0.1, 2.2]]], jnp.float32)
+    codes = vector_quantize(h, cb)
+    assert codes.tolist() == [[0, 3]]
+
+
+def test_speech_tokenizer_shapes_and_determinism(tiny):
+    config, params = tiny
+    vq = config.speech_tokenizer_config
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 16, 64)), jnp.float32
+    )
+    mask = jnp.ones((2, 64), jnp.int32)
+    codes = speech_tokenizer_forward(
+        params["speech_tokenizer"], feats, mask, vq, jnp.float32
+    )
+    assert codes.shape == (2, 8)  # 64 / 2 (conv) / 4 (pool)
+    codes2 = speech_tokenizer_forward(
+        params["speech_tokenizer"], feats, mask, vq, jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+    assert int(codes.max()) < vq.quantize_vocab_size
+
+
+def test_mimo_fork_structure(tiny):
+    """Text logits must depend only on all main layers; forked mimo stream
+    must equal a manual re-composition (scan split correctness)."""
+    config, params = tiny
+    B, T = 2, 16
+    rng = np.random.default_rng(0)
+    audio_ids = rng.integers(0, 90, (B, T)).astype(np.int32)
+    text_ids = rng.integers(0, 90, (B, T)).astype(np.int32)
+    out = forward(
+        params, text_input_ids=jnp.asarray(text_ids),
+        audio_input_ids=jnp.asarray(audio_ids),
+        config=config, compute_dtype=jnp.float32,
+    )
+    assert out.shape == (B, T, config.text_config.vocab_size)
+    assert np.isfinite(np.asarray(out)).all()
+    text_logits, audio_logits = forward(
+        params, text_input_ids=jnp.asarray(text_ids),
+        audio_input_ids=jnp.asarray(audio_ids),
+        config=config, compute_dtype=jnp.float32, return_audio_logits=True,
+    )
+    np.testing.assert_allclose(np.asarray(text_logits), np.asarray(out))
+    assert audio_logits.shape == out.shape
+
+
+def test_full_forward_with_whisper(tiny):
+    config, params = tiny
+    B, T = 2, 40
+    Tw = 64  # mel frames
+    rng = np.random.default_rng(1)
+    audio_ids = rng.integers(0, 90, (B, T)).astype(np.int32)
+    # media markers around an audio span of Tw//8 = 8 tokens
+    audio_ids[:, 4] = config.kimia_media_begin
+    audio_ids[:, 13] = config.kimia_media_end
+    text_ids = rng.integers(0, 90, (B, T)).astype(np.int32)
+    feats = rng.standard_normal((B, 16, Tw)).astype(np.float32)
+    mask = np.ones((B, Tw), np.int32)
+    out = forward(
+        params,
+        text_input_ids=jnp.asarray(text_ids),
+        audio_input_ids=jnp.asarray(audio_ids),
+        whisper_input_features=jnp.asarray(feats),
+        whisper_attention_mask=jnp.asarray(mask),
+        config=config, compute_dtype=jnp.float32,
+    )
+    assert out.shape == (B, T, config.text_config.vocab_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+class _FakeKimiTokenizer:
+    pad = 0
+    eos = 2
+    SPECIALS = {
+        "<|im_kimia_user_msg_start|>": 210,
+        "<|im_kimia_assistant_msg_start|>": 211,
+        "<|im_kimia_text_blank|>": 212,
+        "<|im_kimia_text_eos|>": 213,
+        "<|im_media_begin|>": 200,
+        "<|im_media_end|>": 201,
+        "<|im_kimia_speech_ct_id|>": 214,
+        "<|im_msg_end|>": 215,
+    }
+
+    def tokenize(self, text, add_special_tokens=False):
+        ids = []
+        while text:
+            for tok_str, tok_id in self.SPECIALS.items():
+                if text.startswith(tok_str):
+                    ids.append(tok_id)
+                    text = text[len(tok_str):]
+                    break
+            else:
+                ids.append(3 + ord(text[0]) % 90)
+                text = text[1:]
+        return ids
+
+
+def test_dynamic_batch_dual_streams():
+    cfg = DataConfig(dataset_batchsize=1, dataset_text_seqlen=4096,
+                     dataloader_drop_last_batch=False,
+                     audiofeat_num_mel_bins=16)
+    tok = _FakeKimiTokenizer()
+
+    def extract_fn(waveform, sr):
+        n = 480  # frames
+        return np.zeros((n, 16), np.float32), np.ones(n, np.int32)
+
+    samples = [{"waveform": np.zeros((1, 8000), np.float32), "sample_rate": 16000,
+                "txt": "ok"}]
+    batches = list(dynamic_batch(iter(samples), cfg, extract_fn, tok))
+    assert len(batches) == 1
+    b = batches[0]
+    # parallel streams have identical length
+    assert b["text_input_ids"].shape == b["audio_input_ids"].shape
+    # exactly one media_begin / media_end in the audio stream
+    assert (b["audio_input_ids"][0] == 200).sum() == 1
+    assert (b["audio_input_ids"][0] == 201).sum() == 1
+    # span between the markers = num audio tokens = 480/8 = 60
+    begin = int(np.argmax(b["audio_input_ids"][0] == 200))
+    end = int(np.argmax(b["audio_input_ids"][0] == 201))
+    assert end - begin - 1 == 60
+    # labels supervise response + kimia_text_eos
+    sup = b["labels"][0][b["labels"][0] != -100]
+    assert sup[-1] == 213
+    assert b["whisper_input_features"].shape[1] == 16  # [B, mel, T]
+
+
+@pytest.mark.slow
+def test_train_step_freezes_tokenizer(tiny):
+    import optax
+
+    from touchnet_tpu.loss import cross_entropy_loss
+
+    config, params = tiny
+    B, T, Tw = 2, 24, 64
+    rng = np.random.default_rng(0)
+    audio_ids = rng.integers(0, 90, (B, T)).astype(np.int32)
+    audio_ids[:, 2] = config.kimia_media_begin
+    audio_ids[:, 11] = config.kimia_media_end
+    text_ids = rng.integers(0, 90, (B, T)).astype(np.int32)
+    feats = rng.standard_normal((B, 16, Tw)).astype(np.float32)
+    fmask = np.ones((B, Tw), np.int32)
+    labels = rng.integers(0, 90, (B, T)).astype(np.int32)
+    slens = np.full((B, T), 8, np.int32)
+
+    tx = optax.adamw(1e-2, weight_decay=0.1)
+    opt_state = tx.init(params)
+
+    import re
+
+    from touchnet_tpu.parallel.sharding import _path_str
+
+    frozen = re.compile(r"speech_tokenizer/.*")
+
+    def loss_fn(p):
+        logits = forward(
+            p, text_input_ids=jnp.asarray(text_ids),
+            audio_input_ids=jnp.asarray(audio_ids),
+            whisper_input_features=jnp.asarray(feats),
+            whisper_attention_mask=jnp.asarray(fmask),
+            config=config, compute_dtype=jnp.float32,
+        )
+        loss, _ = cross_entropy_loss(
+            logits, jnp.asarray(labels), jnp.asarray(slens), jnp.asarray(2.0)
+        )
+        return loss
+
+    @jax.jit
+    def step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        grads = jax.tree_util.tree_map_with_path(
+            lambda pth, g: jnp.zeros_like(g) if frozen.match(_path_str(pth)) else g,
+            grads,
+        )
+        updates, s = tx.update(grads, s, p)
+        updates = jax.tree_util.tree_map_with_path(
+            lambda pth, u: jnp.zeros_like(u) if frozen.match(_path_str(pth)) else u,
+            updates,
+        )
+        return optax.apply_updates(p, updates), s, loss
+
+    new_params, _, loss = step(params, opt_state)
+    assert np.isfinite(float(loss))
+    # frozen tokenizer unchanged, trainable weights changed
+    for a, b in zip(jax.tree.leaves(params["speech_tokenizer"]),
+                    jax.tree.leaves(new_params["speech_tokenizer"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(
+        np.asarray(params["lm_head"]["weight"]),
+        np.asarray(new_params["lm_head"]["weight"]),
+    )
+
+
+def test_num_params_formula(tiny):
+    config, params = tiny
+    counted = sum(x.size for x in jax.tree.leaves(params))
+    # exclude frozen buffers not in the formula: the two whisper pos tables
+    # (speech_encoder sinusoids, tokenizer pos tables are learned... counted)
+    expected = get_num_params(config)
+    pos_tables = (
+        config.speech_encoder_config.max_source_positions
+        * config.speech_encoder_config.d_model
+        + config.speech_tokenizer_config.max_source_positions
+        * config.speech_tokenizer_config.d_model
+        + -(-config.speech_tokenizer_config.max_source_positions
+            // config.speech_tokenizer_config.pooling_kernel_size)
+        * config.speech_tokenizer_config.d_model
+    )
+    assert counted == expected + pos_tables, (counted, expected, pos_tables)

@@ -61,6 +61,10 @@ _BATCH_ARRAY_KEYS = (
     "attention_mask",
     "feature_attention_mask",
     "sentence_lens",
+    "text_input_ids",
+    "audio_input_ids",
+    "whisper_input_features",
+    "whisper_attention_mask",
 )
 
 
@@ -276,14 +280,9 @@ class Trainer:
             remat_mode=cfg.training_activation_checkpoint_mode,
             shard_fn=shard_fn,
         )
-        if batch.get("inputs_embeds") is not None:
-            kwargs["inputs_embeds"] = batch["inputs_embeds"]
-        if batch.get("input_features") is not None:
-            kwargs["input_features"] = batch["input_features"]
-        if batch.get("feature_attention_mask") is not None:
-            kwargs["feature_attention_mask"] = batch["feature_attention_mask"]
-        if batch.get("input_ids") is not None:
-            kwargs["input_ids"] = batch["input_ids"]
+        for key in self.train_spec.forward_batch_keys:
+            if batch.get(key) is not None:
+                kwargs[key] = batch[key]
         return self.train_spec.forward_fn(params, **kwargs)
 
     def _build_train_step(self):
@@ -299,14 +298,34 @@ class Trainer:
             acc = self.train_spec.acc_fn(logits, batch["labels"])
             return loss_ps, (loss_pt, acc)
 
+        import re
+
+        from touchnet_tpu.parallel.sharding import _path_str
+
+        frozen_res = [re.compile(r) for r in self.train_spec.frozen_params_re]
+
+        def _is_frozen(path) -> bool:
+            ps = _path_str(path)
+            return any(r.fullmatch(ps) or r.match(ps) for r in frozen_res)
+
         def train_step(params, opt_state, batch, num_sentence, step):
             (loss_ps, (loss_pt, acc)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params, batch, num_sentence)
+            if frozen_res:
+                # frozen submodules (e.g. the WhisperVQ tokenizer) get zero
+                # grads so AdamW weight decay cannot drift them
+                grads = jax.tree_util.tree_map_with_path(
+                    lambda p, g: jnp.zeros_like(g) if _is_frozen(p) else g, grads
+                )
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
             grads = jax.tree.map(lambda g: g * scale, grads)
             updates, new_opt = tx.update(grads, opt_state, params)
+            if frozen_res:
+                updates = jax.tree_util.tree_map_with_path(
+                    lambda p, u: jnp.zeros_like(u) if _is_frozen(p) else u, updates
+                )
             new_params = optax.apply_updates(params, updates)
             # skip the update entirely on non-finite grad norm
             # (reference train.py:467-471)

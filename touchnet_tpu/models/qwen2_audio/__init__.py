@@ -33,5 +33,9 @@ register_train_spec(
         get_num_params_fn=get_num_params,
         param_rules=None,  # FSDP-only: default rules degrade to replicate+fsdp
         dp_only=True,
+        forward_batch_keys=(
+            "input_ids", "inputs_embeds", "input_features",
+            "feature_attention_mask",
+        ),
     )
 )

@@ -43,5 +43,6 @@ register_train_spec(
         get_num_flop_per_token_fn=get_num_flop_per_token,
         get_num_params_fn=get_num_params,
         param_rules=TOUCH_AUDIO_PARAM_RULES,
+        forward_batch_keys=("input_ids", "inputs_embeds", "input_features"),
     )
 )

@@ -36,6 +36,11 @@ class TrainSpec:
     get_num_params_fn: Callable
     param_rules: Any = None
     dp_only: bool = False  # model supports FSDP/DDP only (no tp/cp/pp)
+    # batch keys (beyond the universal ones) forwarded into forward_fn
+    forward_batch_keys: tuple = ("input_ids", "inputs_embeds")
+    # regexes over param paths whose updates are zeroed (frozen submodules,
+    # e.g. kimi_audio's WhisperVQ speech tokenizer)
+    frozen_params_re: tuple = ()
     pipelining_fn: Optional[Callable] = None
     additional_pre_init_fn: Optional[Callable] = None
     additional_post_init_fn: Optional[Callable] = None
