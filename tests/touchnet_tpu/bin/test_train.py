@@ -178,3 +178,18 @@ def test_train_touch_audio_bestrq_e2e(tmp_path):
         argv += [f"--{k}", v]
     trainer = run_trainer(argv)
     assert trainer.step == 3
+
+
+@pytest.mark.slow
+def test_train_e2e_ring_attention_cp(tmp_path):
+    """CP with the alltoall (ring) rotate method through the full trainer."""
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_data_parallel_shard_degree=2,
+        training_tensor_parallel_degree=2,
+        training_context_parallel_degree=2,
+        training_context_parallel_rotate_method="alltoall",
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3

@@ -49,6 +49,7 @@ def packed_attention_reference(
     scale: Optional[float] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     q_offset=0,
+    kv_offset=0,
 ) -> jax.Array:
     """Dense masked attention. q [B,T,H,D], k/v [B,S,Hkv,D] -> [B,T,H,D]."""
     B, T, H, D = q.shape
@@ -65,7 +66,7 @@ def packed_attention_reference(
     mask = jnp.ones((B, 1, T, S), dtype=jnp.bool_)
     if causal:
         rows = q_offset + jnp.arange(T)[:, None]
-        cols = jnp.arange(S)[None, :]
+        cols = kv_offset + jnp.arange(S)[None, :]
         mask = mask & (rows >= cols)[None, None]
     if segment_ids is not None:
         mask = mask & (
@@ -83,16 +84,17 @@ def packed_attention_reference(
 # ---------------------------------------------------------------------------
 
 
-def _causal_block_mask(mask, q_off, iq, ikv, block_q, block_kv, transpose=False):
+def _causal_block_mask(mask, q_off, kv_off, iq, ikv, block_q, block_kv,
+                       transpose=False):
     if not transpose:
         rows = q_off + iq * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 0
         )
-        cols = ikv * block_kv + jax.lax.broadcasted_iota(
+        cols = kv_off + ikv * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 1
         )
     else:
-        cols = ikv * block_kv + jax.lax.broadcasted_iota(
+        cols = kv_off + ikv * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
         )
         rows = q_off + iq * block_q + jax.lax.broadcasted_iota(
@@ -110,6 +112,7 @@ def _fwd_kernel(
 ):
     iq, ikv = pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
 
     @pl.when(ikv == 0)
     def _init():
@@ -118,7 +121,9 @@ def _fwd_kernel(
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
     # skip blocks strictly above the causal diagonal
-    run = (not causal) or (ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
+    run = (not causal) or (
+        kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1
+    )
 
     @pl.when(run)
     def _compute():
@@ -132,7 +137,9 @@ def _fwd_kernel(
         kv_seg = kv_seg_ref[0, 0]  # [bkv]
         mask = q_seg[:, None] == kv_seg[None, :]
         if causal:
-            mask = _causal_block_mask(mask, q_off, iq, ikv, block_q, block_kv)
+            mask = _causal_block_mask(
+                mask, q_off, kv_off, iq, ikv, block_q, block_kv
+            )
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[:, :1]  # [bq, 1]
@@ -151,7 +158,9 @@ def _fwd_kernel(
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
     if causal:
-        last = jnp.minimum(nkv, pl.cdiv(q_off + (iq + 1) * block_q, block_kv)) - 1
+        last = jnp.clip(
+            pl.cdiv(q_off + (iq + 1) * block_q - kv_off, block_kv) - 1, 0, nkv - 1
+        )
     else:
         last = nkv - 1
 
@@ -179,12 +188,15 @@ def _bwd_dq_kernel(
 ):
     iq, ikv = pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
 
     @pl.when(ikv == 0)
     def _init():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    run = (not causal) or (ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
+    run = (not causal) or (
+        kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1
+    )
 
     @pl.when(run)
     def _compute():
@@ -197,7 +209,9 @@ def _bwd_dq_kernel(
         ) * scale
         mask = q_seg_ref[0, 0][:, None] == kv_seg_ref[0, 0][None, :]
         if causal:
-            mask = _causal_block_mask(mask, q_off, iq, ikv, block_q, block_kv)
+            mask = _causal_block_mask(
+                mask, q_off, kv_off, iq, ikv, block_q, block_kv
+            )
         lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
@@ -210,7 +224,9 @@ def _bwd_dq_kernel(
         )
 
     if causal:
-        last = jnp.minimum(nkv, pl.cdiv(q_off + (iq + 1) * block_q, block_kv)) - 1
+        last = jnp.clip(
+            pl.cdiv(q_off + (iq + 1) * block_q - kv_off, block_kv) - 1, 0, nkv - 1
+        )
     else:
         last = nkv - 1
 
@@ -228,6 +244,7 @@ def _bwd_dkv_kernel(
 ):
     ikv, iq = pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
 
     @pl.when(iq == 0)
     def _init():
@@ -235,7 +252,9 @@ def _bwd_dkv_kernel(
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
     # block participates unless all q rows precede all kv cols
-    run = (not causal) or (q_off + (iq + 1) * block_q - 1 >= ikv * block_kv)
+    run = (not causal) or (
+        q_off + (iq + 1) * block_q - 1 >= kv_off + ikv * block_kv
+    )
 
     @pl.when(run)
     def _compute():
@@ -249,7 +268,7 @@ def _bwd_dkv_kernel(
         mask = kv_seg_ref[0, 0][:, None] == q_seg_ref[0, 0][None, :]
         if causal:
             mask = _causal_block_mask(
-                mask, q_off, iq, ikv, block_q, block_kv, transpose=True
+                mask, q_off, kv_off, iq, ikv, block_q, block_kv, transpose=True
             )
         lse = lse_ref[0, 0, 0][None, :]  # [1, bq]
         pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, bq]
@@ -456,6 +475,7 @@ def flash_attention(
     interpret: bool = False,
     kv_segment_ids: Optional[jax.Array] = None,
     q_offset=None,
+    kv_offset=None,
 ) -> jax.Array:
     """Packed-document flash attention.
 
@@ -485,6 +505,7 @@ def flash_attention(
             q, k, v, segment_ids, causal, scale,
             kv_segment_ids=kv_segment_ids,
             q_offset=0 if q_offset is None else q_offset,
+            kv_offset=0 if kv_offset is None else kv_offset,
         )
 
     block_q = min(block_q, -(-T // 128) * 128)
@@ -501,10 +522,10 @@ def flash_attention(
     vp = _pad_to(v, block_kv, 1)
     q_segp = _pad_to(segment_ids, block_q, 1)
     kv_segp = _pad_to(kv_segment_ids, block_kv, 1)
-    if q_offset is None:
-        q_off = jnp.zeros((1,), jnp.int32)
-    else:
-        q_off = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    q_off = jnp.stack([
+        jnp.asarray(0 if q_offset is None else q_offset, jnp.int32).reshape(()),
+        jnp.asarray(0 if kv_offset is None else kv_offset, jnp.int32).reshape(()),
+    ])
     out = _flash_attention(
         qp, kp, vp, q_segp, kv_segp, q_off, causal, scale, block_q, block_kv,
         interpret,
