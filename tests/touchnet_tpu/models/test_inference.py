@@ -1,0 +1,124 @@
+# KV-cache generation: greedy decode must match HF transformers generate on
+# the tiny llama with identical weights.
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+from touchnet_tpu.models.llama.inference_llama import (
+    forward_step,
+    generate,
+    init_cache,
+    sample_token,
+)
+from touchnet_tpu.models.llama.modeling_llama import forward, init_params
+
+CFG_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "..", "assets", "config", "tiny_llama.json"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = LlamaConfig.from_json_file(CFG_PATH)
+    params = init_params(config, jax.random.PRNGKey(0))
+    return config, params
+
+
+def test_prefill_matches_forward(tiny):
+    config, params = tiny
+    B, T = 2, 24
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, config.vocab_size)
+    want = forward(params, input_ids=ids, config=config, compute_dtype=jnp.float32)
+    emb = jnp.take(params["model"]["embed_tokens"]["weight"], ids, axis=0)
+    cache = init_cache(config, B, T, jnp.float32)
+    got, _ = forward_step(
+        params, emb, cache, jnp.zeros((B,), jnp.int32), config, jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_greedy_matches_hf_generate(tiny):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_llama import _to_hf_state_dict
+
+    config, params = tiny
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=config.vocab_size, hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        num_key_value_heads=config.num_key_value_heads,
+        rms_norm_eps=config.rms_norm_eps, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model.load_state_dict(_to_hf_state_dict(params, config), strict=True)
+    model.generation_config.pad_token_id = 0
+
+    B, T, NEW = 1, 12, 8
+    ids = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(3), (B, T), 3, config.vocab_size)
+    )
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids), max_new_tokens=NEW, do_sample=False,
+            eos_token_id=-1,
+        )[:, T:].numpy()
+
+    emb = jnp.take(params["model"]["embed_tokens"]["weight"],
+                   jnp.asarray(ids), axis=0)
+    got = generate(
+        params, config, emb, jnp.full((B,), T, jnp.int32), NEW,
+        eos_id=-1, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), hf_out)
+
+
+def test_right_padded_batch_generation(tiny):
+    """Rows with different prompt lengths (right padding) must decode the
+    same as decoding each row alone."""
+    config, params = tiny
+    T = 16
+    ids0 = jax.random.randint(jax.random.PRNGKey(5), (1, T), 3, config.vocab_size)
+    ids1 = jax.random.randint(jax.random.PRNGKey(6), (1, 10), 3, config.vocab_size)
+    emb = params["model"]["embed_tokens"]["weight"]
+    e0 = jnp.take(emb, ids0, axis=0)
+    e1 = jnp.take(emb, ids1, axis=0)
+    e1_padded = jnp.pad(e1, ((0, 0), (0, T - 10), (0, 0)))
+    batch_emb = jnp.concatenate([e0, e1_padded], axis=0)
+    lens = jnp.asarray([T, 10], jnp.int32)
+    got = generate(params, config, batch_emb, lens, 6, eos_id=-1,
+                   compute_dtype=jnp.float32)
+    solo0 = generate(params, config, e0, jnp.asarray([T]), 6, eos_id=-1,
+                     compute_dtype=jnp.float32)
+    solo1 = generate(params, config, e1, jnp.asarray([10]), 6, eos_id=-1,
+                     compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(solo0[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(solo1[0]))
+
+
+def test_sampler_repetition_penalty():
+    logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0]])
+    recent = jnp.asarray([[0, -1, -1]])
+    tok = sample_token(logits, jax.random.PRNGKey(0), temperature=0.0,
+                       repetition_penalty=10.0, recent_tokens=recent)
+    assert int(tok[0]) == 1  # token 0 penalized away
+    tok = sample_token(logits, jax.random.PRNGKey(0), temperature=0.0)
+    assert int(tok[0]) == 0
+
+
+def test_sampler_top_k():
+    logits = jnp.asarray([[0.0, 5.0, 4.0, -2.0]])
+    for seed in range(5):
+        tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
+                           top_k=2)
+        assert int(tok[0]) in (1, 2)

@@ -1,0 +1,129 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Batch ASR inference for Kimi-Audio.
+#
+# Capability parity: reference touchnet/models/kimi_audio/
+# inference_kimi_audio.py — dual-stream S2T prompts, whisper features,
+# custom generate (text stream decoded, audio stream held at
+# <|im_kimia_text_blank|>), part files.
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from touchnet_tpu.data import DataConfig
+from touchnet_tpu.models.kimi_audio.configuration_kimi_audio import KimiAudioConfig
+from touchnet_tpu.models.kimi_audio.modeling_kimi_audio import (
+    prepare_audio_input_embs,
+)
+from touchnet_tpu.models.kimi_audio.processing_kimi_audio import (
+    KIMI_AUDIO_TEMPLATE_FOR_S2T,
+    KIMI_TEXT_TEMPLATE_FOR_S2T,
+)
+from touchnet_tpu.models.llama.inference_llama import generate
+from touchnet_tpu.models.qwen2_audio.processing_qwen2_audio import whisper_features
+from touchnet_tpu.tokenizer import TokenizerConfig
+from touchnet_tpu.tokenizer.tokenizer import build_tokenizer
+from touchnet_tpu.utils.cli import parse_args_into_dataclasses
+from touchnet_tpu.utils.inference import (
+    AudioJsonlDataset,
+    InferenceConfig,
+    batched,
+    pad_right,
+    part_file,
+    write_results,
+)
+from touchnet_tpu.utils.logging import init_logger, logger
+
+
+def main(argv=None):
+    (config, data_config, tok_config) = parse_args_into_dataclasses(
+        [InferenceConfig, DataConfig, TokenizerConfig], argv
+    )
+    init_logger()
+    model_config = KimiAudioConfig.from_json_file(config.training_model_config_path)
+    tokenizer = build_tokenizer(tok_config)
+
+    from touchnet_tpu.bin.convert_hf_to_ckpt import load_hf_state_dict
+    from touchnet_tpu.models.kimi_audio.convert import params_from_hf_state_dict
+
+    params = jax.tree.map(
+        jnp.asarray, params_from_hf_state_dict(
+            model_config, load_hf_state_dict(config.model_path)
+        )
+    )
+    embed_w = params["model"]["embed_tokens"]["weight"]
+    blank = "<|im_kimia_text_blank|>"
+    blank_id = tokenizer.tokenize(blank, add_special_tokens=False)[0]
+    eos_id = tokenizer.tokenize(
+        "<|im_kimia_text_eos|>", add_special_tokens=False
+    )[0]
+
+    def tok(t):
+        return tokenizer.tokenize(t, add_special_tokens=False)
+
+    rank, world = jax.process_index(), jax.process_count()
+    dataset = AudioJsonlDataset(config.data_list, rank, world)
+    results = []
+    n_mels = model_config.speech_encoder_config.num_mel_bins
+
+    # lm-view of the backbone for the shared generate loop
+    lm_params = {
+        "model": {
+            "embed_tokens": params["model"]["embed_tokens"],
+            "layers": params["model"]["layers"],
+            "norm": params["model"]["norm"],
+        },
+        "lm_head": params["lm_head"],
+    }
+    blank_emb = embed_w[blank_id]
+
+    def embed_fn(toks):
+        # dual stream during decode: audio stream stays blank
+        return jnp.take(embed_w, toks, axis=0) + blank_emb[None]
+
+    for batch in batched(iter(dataset), config.batch_size):
+        text_ids_list, audio_ids_list, feats_list, fmask_list = [], [], [], []
+        for s in batch:
+            feats, fmask = whisper_features(s["waveform"], s["sample_rate"], n_mels)
+            n_tok = int(fmask[::2][::4].sum())
+            text_prompt = KIMI_TEXT_TEMPLATE_FOR_S2T.replace(
+                "<|INSTRUCT|>", config.instruct
+            ).replace("<|AUDIO|>", blank * n_tok)
+            audio_prompt = KIMI_AUDIO_TEMPLATE_FOR_S2T.replace(
+                "<|INSTRUCT|>", blank * len(tok(config.instruct))
+            ).replace("<|AUDIO|>", blank * n_tok)
+            text_ids_list.append(np.asarray(tok(text_prompt), np.int32))
+            audio_ids_list.append(np.asarray(tok(audio_prompt), np.int32))
+            feats_list.append(feats)
+            fmask_list.append(fmask)
+        lens = np.asarray([len(i) for i in text_ids_list], np.int32)
+        text_ids = jnp.asarray(pad_right(text_ids_list, 0))
+        audio_ids = jnp.asarray(pad_right(audio_ids_list, 0))
+        feats = jnp.asarray(pad_right(feats_list, 0.0)).transpose(0, 2, 1)
+        fmask = jnp.asarray(pad_right(fmask_list, 0))
+
+        audio_embs = jnp.take(embed_w, audio_ids, axis=0).astype(jnp.float32)
+        audio_embs = prepare_audio_input_embs(
+            params, audio_ids, audio_embs, feats, fmask, model_config,
+            jnp.float32,
+        )
+        prompt = audio_embs + jnp.take(embed_w, text_ids, axis=0)
+        out = generate(
+            lm_params, model_config.text_config, prompt, jnp.asarray(lens),
+            config.max_length, eos_id=eos_id, embed_fn=embed_fn,
+            temperature=0.0,
+        )
+        for s, toks_out in zip(batch, np.asarray(out)):
+            toks_out = [int(t) for t in toks_out
+                        if int(t) not in (eos_id, blank_id)]
+            results.append({
+                "key": s["key"], "txt": s.get("txt", ""),
+                "hyp": tokenizer.detokenize(toks_out),
+            })
+        logger.info(f"decoded {len(results)}/{len(dataset)}")
+    write_results(part_file(config.output_dir, rank), results)
+    data_config  # parsed for CLI parity
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# KV-cache autoregressive generation for the functional Llama backbone.
+#
+# Capability parity: the reference delegates generation to HF
+# model.generate (touchnet/models/*/inference_*.py). TPU-native design:
+# prefill + decode are two jitted programs with STATIC shapes — the cache is
+# a preallocated [L, B, max_len, Hkv, Dh] buffer updated with
+# lax.dynamic_update_slice, the decode loop is lax.while_loop (one
+# compilation for any prompt/output length ≤ max_len), and sampling
+# (greedy / temperature / top-k / repetition penalty — KimiASampler parity,
+# reference modeling_kimi_audio.py:719-846) is pure jnp.
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from touchnet_tpu.models.common import apply_rope, linear, rms_norm, rope_frequencies, swiglu
+from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+
+NEG_INF = -1e30
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, S, Hkv, Dh]
+    v: jax.Array
+
+
+def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (
+        config.num_hidden_layers, batch, max_len,
+        config.num_key_value_heads, config.head_dim,
+    )
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _cached_attention(q, k_cache, v_cache, valid_len, scale):
+    """q [B,Tq,H,D] attends cache [B,S,Hkv,D] positions < valid_len (+ its
+    own causal rows for Tq > 1 prefill)."""
+    B, Tq, H, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    if Hkv != H:
+        k_cache = jnp.repeat(k_cache, H // Hkv, axis=2)
+        v_cache = jnp.repeat(v_cache, H // Hkv, axis=2)
+    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                   k_cache.astype(jnp.float32)) * scale
+    # rows are at absolute positions valid_len - Tq + t
+    rows = (valid_len[:, None] - Tq + jnp.arange(Tq)[None, :])  # [B,Tq]
+    cols = jnp.arange(S)[None, None, :]
+    mask = cols <= rows[:, :, None]  # [B,Tq,S]
+    s = jnp.where(mask[:, None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", p.astype(v_cache.dtype), v_cache)
+    return out.astype(q.dtype)
+
+
+def forward_step(
+    params: dict,
+    inputs_embeds: jax.Array,  # [B, Tq, E] (prefill chunk or 1-token step)
+    cache: KVCache,
+    start_pos: jax.Array,  # [B] absolute position of inputs_embeds[:, 0]
+    config: LlamaConfig,
+    compute_dtype=jnp.bfloat16,
+) -> tuple:
+    """Returns (logits [B, Tq, V], new_cache)."""
+    mp = params["model"]
+    B, Tq, _ = inputs_embeds.shape
+    h = inputs_embeds.astype(compute_dtype)
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta)
+    position_ids = start_pos[:, None] + jnp.arange(Tq)[None, :]
+    valid_len = start_pos + Tq
+    scale = 1.0 / (config.head_dim ** 0.5)
+    H, Hkv, Dh = (
+        config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    )
+
+    def layer(carry, xs):
+        h = carry
+        lp, k_cache_l, v_cache_l = xs
+        lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
+        normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+        sa = lp["self_attn"]
+        q = linear(normed, sa["q_proj"]["weight"], sa["q_proj"].get("bias"))
+        k = linear(normed, sa["k_proj"]["weight"], sa["k_proj"].get("bias"))
+        v = linear(normed, sa["v_proj"]["weight"], sa["v_proj"].get("bias"))
+        q = q.reshape(B, Tq, H, Dh)
+        k = k.reshape(B, Tq, Hkv, Dh)
+        v = v.reshape(B, Tq, Hkv, Dh)
+        q, k = apply_rope(q, k, position_ids, inv_freq)
+        # write new kv into the cache at start_pos (same for all rows: we
+        # use per-batch dynamic slices via vmap)
+        def upd(cache_l, new, sp):
+            return jax.lax.dynamic_update_slice(
+                cache_l, new.astype(cache_l.dtype), (sp, 0, 0)
+            )
+        k_cache_l = jax.vmap(upd)(k_cache_l, k, start_pos)
+        v_cache_l = jax.vmap(upd)(v_cache_l, v, start_pos)
+        attn = _cached_attention(q, k_cache_l, v_cache_l, valid_len, scale)
+        h = h + linear(attn.reshape(B, Tq, H * Dh), sa["o_proj"]["weight"])
+        normed = rms_norm(h, lp["post_attention_layernorm"]["weight"],
+                          config.rms_norm_eps)
+        h = h + swiglu(
+            normed,
+            lp["mlp"]["gate_proj"]["weight"],
+            lp["mlp"]["up_proj"]["weight"],
+            lp["mlp"]["down_proj"]["weight"],
+        )
+        return h, (k_cache_l, v_cache_l)
+
+    h, (new_k, new_v) = jax.lax.scan(layer, h, (mp["layers"], cache.k, cache.v))
+    h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    head_w = (
+        mp["embed_tokens"]["weight"]
+        if config.tie_word_embeddings
+        else params["lm_head"]["weight"]
+    )
+    logits = linear(h, head_w.astype(compute_dtype))
+    return logits.astype(jnp.float32), KVCache(new_k, new_v)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (KimiASampler parity: temperature / top-k / repetition penalty)
+# ---------------------------------------------------------------------------
+
+
+def sample_token(
+    logits: jax.Array,  # [B, V]
+    key: jax.Array,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    recent_tokens: Optional[jax.Array] = None,  # [B, W] (-1 = empty)
+) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    if repetition_penalty != 1.0 and recent_tokens is not None:
+        B, V = logits.shape
+        onehot = jax.nn.one_hot(
+            jnp.where(recent_tokens < 0, 0, recent_tokens), V, dtype=jnp.bool_
+        ) & (recent_tokens >= 0)[..., None]
+        seen = onehot.any(axis=1)  # [B, V]
+        penalized = jnp.where(
+            logits > 0, logits / repetition_penalty, logits * repetition_penalty
+        )
+        logits = jnp.where(seen, penalized, logits)
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def generate(
+    params: dict,
+    config: LlamaConfig,
+    prompt_embeds: jax.Array,  # [B, Tp, E] (fused multimodal prompts allowed)
+    prompt_len: jax.Array,  # [B] true lengths (right padding)
+    max_new_tokens: int,
+    *,
+    eos_id: int,
+    embed_fn: Optional[Callable] = None,  # token -> embedding for decode steps
+    temperature: float = 0.0,
+    top_k: int = 0,
+    repetition_penalty: float = 1.0,
+    repetition_window: int = 16,
+    seed: int = 0,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Batch greedy/sampled decode. Returns [B, max_new_tokens] (eos-padded).
+
+    Right padding: positions >= prompt_len are pad; the cache is filled with
+    the full padded prompt but attention masks beyond valid_len, and the
+    first generated token reads logits at prompt_len - 1.
+    """
+    B, Tp, E = prompt_embeds.shape
+    max_len = Tp + max_new_tokens
+    if embed_fn is None:
+        embed_fn = lambda tok: jnp.take(  # noqa: E731
+            params["model"]["embed_tokens"]["weight"], tok, axis=0
+        )
+
+    cache = init_cache(config, B, max_len, compute_dtype)
+    # prefill with start_pos 0 for all rows (padded rows attend causally;
+    # garbage beyond prompt_len is never read back)
+    logits, cache = forward_step(
+        params, prompt_embeds, cache,
+        jnp.zeros((B,), jnp.int32), config, compute_dtype,
+    )
+    last_logits = jnp.take_along_axis(
+        logits, (prompt_len - 1)[:, None, None], axis=1
+    )[:, 0]  # [B, V]
+
+    window = max(repetition_window, 1)
+
+    def cond(state):
+        step, _, _, _, done, _, _ = state
+        return (step < max_new_tokens) & ~done.all()
+
+    def body(state):
+        step, cache, last_logits, out, done, recent, key = state
+        key, sub = jax.random.split(key)
+        tok = sample_token(
+            last_logits, sub, temperature, top_k, repetition_penalty, recent
+        )
+        tok = jnp.where(done, eos_id, tok)
+        out = out.at[:, step].set(tok)
+        done = done | (tok == eos_id)
+        recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
+        emb = embed_fn(tok)[:, None, :]  # [B,1,E]
+        logits, cache = forward_step(
+            params, emb, cache, prompt_len + step, config, compute_dtype
+        )
+        return step + 1, cache, logits[:, 0], out, done, recent, key
+
+    out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    state = (
+        jnp.asarray(0), cache, last_logits, out,
+        jnp.zeros((B,), bool),
+        jnp.full((B, window), -1, jnp.int32),
+        jax.random.PRNGKey(seed),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    return state[3]
