@@ -1,0 +1,95 @@
+# Pipeline parallelism: pp-mesh logits must reproduce the single-device
+# golden, and pp training must run e2e through the trainer.
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+from touchnet_tpu.models.llama.modeling_llama import forward, init_params
+from touchnet_tpu.models.llama.pipeline_llama import pipeline_forward, pp_param_rules
+from touchnet_tpu.parallel.dims import ParallelDims
+from touchnet_tpu.parallel.sharding import LLAMA_PARAM_RULES, named_shardings
+
+CFG = os.path.join(
+    os.path.dirname(__file__), "..", "..", "assets", "config", "tiny_llama.json"
+)
+
+
+@pytest.mark.parametrize("pp,dp", [(2, 4), (2, 1)])
+@pytest.mark.parametrize("micro", [None, 2])
+def test_pipeline_forward_matches_golden(pp, dp, micro):
+    config = LlamaConfig.from_json_file(CFG)  # 2 layers -> 1 per stage (pp=2)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+
+    pd = ParallelDims(world_size=pp * dp, dp_replicate=dp, dp_shard=1, pp=pp)
+    mesh = pd.build_mesh()
+    shardings = named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    sharded = jax.device_put(params, shardings)
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh, n_microbatches=micro,
+            compute_dtype=jnp.float32, remat_mode="none",
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_grads_match_golden():
+    config = LlamaConfig.from_json_file(CFG)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=2, dp_replicate=1, dp_shard=1, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    def loss_pp(p):
+        logits = pipeline_forward(
+            p, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="full",
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        logits = forward(p, input_ids=ids, config=config,
+                         compute_dtype=jnp.float32)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(sharded)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_train_e2e_pipeline(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bin"))
+    from test_train import build_corpus, make_args, run_trainer
+
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_data_parallel_shard_degree=1,
+        training_data_parallel_replicate_degree=4,
+        training_tensor_parallel_degree=1,
+        training_pipeline_parallel_degree=2,
+        dataset_batchsize=2,
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3

@@ -159,6 +159,14 @@ class Trainer:
         )
 
         self.train_spec = get_train_spec(job_config.training_model_name)
+        if self.parallel_dims.pp_enabled:
+            from touchnet_tpu.parallel.pipeline import validate_pp_composition
+
+            validate_pp_composition(self.parallel_dims)
+            assert self.train_spec.pipelining_fn is not None, (
+                f"{self.train_spec.name} has no pipeline-parallel support "
+                "(reference: only llama has a pipelining_fn)"
+            )
         if self.train_spec.dp_only:
             assert not (
                 self.parallel_dims.tp_enabled
@@ -201,9 +209,13 @@ class Trainer:
         abstract = jax.eval_shape(
             lambda k: self.train_spec.init_params_fn(self.model_config, k), init_key
         )
-        self.param_shardings = named_shardings(
-            abstract, self.mesh, self.train_spec.param_rules
-        )
+        rules = self.train_spec.param_rules
+        if self.parallel_dims.pp_enabled:
+            from touchnet_tpu.models.llama.pipeline_llama import pp_param_rules
+            from touchnet_tpu.parallel.sharding import LLAMA_PARAM_RULES
+
+            rules = pp_param_rules(rules if rules is not None else LLAMA_PARAM_RULES)
+        self.param_shardings = named_shardings(abstract, self.mesh, rules)
         with self.mesh:
             self.params = jax.jit(
                 lambda k: self.train_spec.init_params_fn(self.model_config, k),
@@ -264,6 +276,22 @@ class Trainer:
     # ------------------------------------------------------------------
     def _forward_logits(self, params, batch):
         cfg = self.job_config
+        if self.parallel_dims.pp_enabled:
+            import importlib
+
+            mod_path, fn_name = self.train_spec.pipelining_fn.rsplit(".", 1)
+            pipeline_forward = getattr(importlib.import_module(mod_path), fn_name)
+            return pipeline_forward(
+                params,
+                input_ids=batch.get("input_ids"),
+                segment_ids=batch.get("attention_mask"),
+                position_ids=batch.get("position_ids"),
+                config=self.model_config,
+                mesh=self.mesh,
+                n_microbatches=cfg.training_pipeline_parallel_microbatches,
+                compute_dtype=_dtype(cfg.training_mixed_precision_param),
+                remat_mode=cfg.training_activation_checkpoint_mode,
+            )
         attn_fn = make_sharded_attn_fn(
             self.mesh,
             rotate_method=cfg.training_context_parallel_rotate_method,

@@ -47,5 +47,6 @@ register_train_spec(
         get_num_params_fn=get_num_params,
         param_rules=LLAMA_PARAM_RULES,
         additional_post_init_fn=None,
+        pipelining_fn="touchnet_tpu.models.llama.pipeline_llama.pipeline_forward",
     )
 )

@@ -1,0 +1,105 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Pipeline-parallel Llama forward.
+#
+# Capability parity: reference touchnet/models/llama/pipeline_llama.py
+# (llama is the only family with a pipelining_fn, SURVEY.md §2.7). The
+# stacked-layer scan layout makes stage splitting a sharding annotation
+# (P("pp") on the layer axis) instead of per-rank module surgery; the GPipe
+# schedule lives in parallel/pipeline.py.
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from touchnet_tpu.models.common import linear, rms_norm, rope_frequencies
+from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+from touchnet_tpu.models.llama.modeling_llama import decoder_layer
+from touchnet_tpu.ops.attention import flash_attention, packed_attention_reference
+from touchnet_tpu.parallel.pipeline import pipeline_apply
+
+
+def pipeline_forward(
+    params: dict,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    position_ids: Optional[jax.Array] = None,
+    config: LlamaConfig,
+    mesh,
+    n_microbatches: Optional[int] = None,
+    compute_dtype=jnp.bfloat16,
+    remat_mode: str = "full",
+    block_q: int = 512,
+    block_kv: int = 512,
+    shard_fn=None,
+) -> jax.Array:
+    """Pipelined logits [B, T, V]. Microbatch count defaults to pp degree
+    (reference build_pipeline_schedule default)."""
+    S = mesh.shape["pp"]
+    if n_microbatches is None:
+        n_microbatches = S
+    mp = params["model"]
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(mp["embed_tokens"]["weight"], input_ids, axis=0)
+    h = inputs_embeds.astype(compute_dtype)
+    B, T, _ = h.shape
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    if segment_ids is None:
+        segment_ids = jnp.ones((B, T), jnp.int32)
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta)
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def attn(q, k, v, seg):
+        # inside shard_map: run the local kernel directly
+        if use_pallas:
+            return flash_attention(q, k, v, seg, block_q=block_q,
+                                   block_kv=block_kv, use_pallas=True)
+        return packed_attention_reference(q, k, v, seg)
+
+    def stage_fn(layers_local, x, extras):
+        layer = functools.partial(
+            decoder_layer,
+            cos_sin_posids=extras["position_ids"],
+            segment_ids=extras["segment_ids"],
+            config=config,
+            attn_fn=attn,
+            inv_freq=inv_freq,
+            shard_fn=lambda a, kind: a,
+        )
+
+        def body(carry, lp):
+            lp = jax.tree.map(lambda p: p.astype(compute_dtype), lp)
+            return layer(carry, lp), None
+
+        x, _ = jax.lax.scan(body, x, layers_local)
+        return x
+
+    h = pipeline_apply(
+        mesh, stage_fn, mp["layers"], h,
+        {"segment_ids": segment_ids, "position_ids": position_ids},
+        n_microbatches, remat=(remat_mode != "none"),
+    )
+    h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    head_w = (
+        mp["embed_tokens"]["weight"]
+        if config.tie_word_embeddings
+        else params["lm_head"]["weight"]
+    )
+    return linear(h, head_w.astype(compute_dtype))
+
+
+def pp_param_rules(base_rules):
+    """Layer-stack params shard on "pp" along the stacked dim; everything
+    else follows the base rules with pp absent (replicated across stages —
+    the reference keeps embed/head on first/last ranks; SPMD replicates the
+    small non-layer params instead)."""
+    from jax.sharding import PartitionSpec as P
+
+    rules = [(r"model/layers/.*", P("pp"))]
+    rules += list(base_rules)
+    return rules
