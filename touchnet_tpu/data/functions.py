@@ -81,18 +81,33 @@ def audio_speed_perturb(data, config: DataConfig):
 
 
 def audio_compute_fbank(data, config: DataConfig):
+    from touchnet_tpu.data import native
+
     for sample in data:
         assert "sample_rate" in sample and "waveform" in sample
         waveform = sample["waveform"] * (1 << 15)
-        sample["audiofeat"] = dsp.fbank(
-            waveform,
-            num_mel_bins=config.audiofeat_num_mel_bins,
-            frame_length=config.audiofeat_frame_length,
-            frame_shift=config.audiofeat_frame_shift,
-            dither=config.audiofeat_dither,
-            energy_floor=0.0,
-            sample_frequency=sample["sample_rate"],
-        )
+        feat = None
+        if config.audiofeat_dither == 0.0:
+            # hot path: C++ frontend (native/frontend.cc); None -> numpy
+            feat = native.fbank_native(
+                waveform,
+                num_mel_bins=config.audiofeat_num_mel_bins,
+                frame_length=config.audiofeat_frame_length,
+                frame_shift=config.audiofeat_frame_shift,
+                dither=0.0,
+                sample_frequency=sample["sample_rate"],
+            )
+        if feat is None:
+            feat = dsp.fbank(
+                waveform,
+                num_mel_bins=config.audiofeat_num_mel_bins,
+                frame_length=config.audiofeat_frame_length,
+                frame_shift=config.audiofeat_frame_shift,
+                dither=config.audiofeat_dither,
+                energy_floor=0.0,
+                sample_frequency=sample["sample_rate"],
+            )
+        sample["audiofeat"] = feat
         yield sample
 
 
