@@ -67,14 +67,61 @@ def convert(config: CkptConverterConfig) -> str:
             tie_word_embeddings=mcfg.tie_word_embeddings,
         )
         model = transformers.LlamaForCausalLM(hf_cfg)
-    elif config.model_type == "touch_audio":
-        from touchnet_tpu.models.touch_audio import build_hf_export
-
-        model, sd = build_hf_export(config)
-    else:
-        raise NotImplementedError(
-            f"hf export for {config.model_type!r} not wired yet"
+    elif config.model_type in ("touch_audio", "qwen2_audio", "kimi_audio"):
+        # audio families export safetensors + config.json directly (the
+        # reference round-trips through its own HF-registered classes;
+        # writing the same key layout is equivalent output)
+        if config.model_type == "touch_audio":
+            from touchnet_tpu.models.touch_audio.configuration_touch_audio import (
+                TouchAudioConfig as Cfg,
+            )
+            from touchnet_tpu.models.touch_audio.convert import (
+                params_to_hf_state_dict,
+            )
+            from touchnet_tpu.models.touch_audio.modeling_touch_audio import (
+                init_params,
+            )
+        elif config.model_type == "qwen2_audio":
+            from touchnet_tpu.models.qwen2_audio.configuration_qwen2_audio import (
+                Qwen2AudioConfig as Cfg,
+            )
+            from touchnet_tpu.models.qwen2_audio.convert import (
+                params_to_hf_state_dict,
+            )
+            from touchnet_tpu.models.qwen2_audio.modeling_qwen2_audio import (
+                init_params,
+            )
+        else:
+            from touchnet_tpu.models.kimi_audio.configuration_kimi_audio import (
+                KimiAudioConfig as Cfg,
+            )
+            from touchnet_tpu.models.kimi_audio.convert import (
+                params_to_hf_state_dict,
+            )
+            from touchnet_tpu.models.kimi_audio.modeling_kimi_audio import (
+                init_params,
+            )
+        mcfg = Cfg.from_json_file(config.training_model_config_path)
+        abstract = jax.eval_shape(
+            lambda: init_params(mcfg, jax.random.PRNGKey(0))
         )
+        abstract = jax.tree.map(lambda s_: np.zeros(s_.shape, s_.dtype), abstract)
+        params = restore_model_tree(config.ckpt_dir, step, abstract)
+        sd = params_to_hf_state_dict(mcfg, jax.tree.map(np.asarray, params))
+        out = os.path.join(config.ckpt_dir, "checkpoint_hf", f"step-{step}")
+        os.makedirs(out, exist_ok=True)
+        from safetensors.numpy import save_file
+
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
+                  os.path.join(out, "model.safetensors"))
+        import json
+
+        with open(os.path.join(out, "config.json"), "w") as f:
+            json.dump(mcfg.to_dict(), f, indent=2)
+        logger.info(f"HF checkpoint written to {out}")
+        return out
+    else:
+        raise NotImplementedError(f"unknown model_type {config.model_type!r}")
 
     model.load_state_dict(
         {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=True

@@ -501,10 +501,27 @@ def _dtype(name: str):
     }[name]
 
 
+def _maybe_enable_async_tp(job_config):
+    """Async tensor parallel (reference enable_symm_mem + _micro_pipeline_tp,
+    SURVEY.md §2.5): on TPU this is XLA's latency-hiding scheduler +
+    collective-matmul fusion. Flags must land before backend init."""
+    if not job_config.training_enable_async_tensor_parallel:
+        return
+    flags = (
+        " --xla_tpu_enable_async_collective_fusion=true"
+        " --xla_tpu_enable_async_collective_fusion_fuse_all_gather=true"
+        " --xla_tpu_overlap_compute_collective_tc=true"
+        " --xla_enable_async_all_gather=true"
+    )
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + flags).strip()
+    logger.info("async TP: XLA collective-overlap flags enabled")
+
+
 def main(argv: Optional[list] = None):
     tokenizer_config, data_config, job_config = parse_args_into_dataclasses(
         [TokenizerConfig, DataConfig, TrainConfig], argv
     )
+    _maybe_enable_async_tp(job_config)
     trainer = Trainer(tokenizer_config, data_config, job_config)
     try:
         trainer.train()

@@ -11,12 +11,19 @@
 # accumulators feeding the MXU — plus a context-parallel wrapper
 # (shard_map over the "cp" mesh axis) in touchnet_tpu/parallel/.
 #
+# Performance notes (tuned on a real v5e chip):
+#   - GQA groups are processed INSIDE one kernel invocation: Q is viewed as
+#     [B, Hkv, G, T, D] and each grid cell computes a (G*block_q, block_kv)
+#     score tile against one shared KV block — K/V are DMAed once per GROUP
+#     (not per query head) and the MXU sees G x taller matmuls;
+#   - matmul inputs stay bf16 with fp32 accumulation
+#     (preferred_element_type); softmax runs fp32 on the VPU;
+#   - blocks strictly above the causal diagonal are skipped (q_offset /
+#     kv_offset aware, so the skip logic survives context parallelism).
+#
 # Layout: public API is [B, T, H, D] (q) / [B, S, Hkv, D] (k, v) with
-# segment_ids [B, T]/[B, S] int32 (0 = padding). GQA is handled inside the
-# kernel by mapping query head h to kv head h // (H // Hkv) in the BlockSpec
-# index map — K/V are never materialized per-q-head. `q_offset` gives the
-# global position of the first query row so causal masking stays correct when
-# Q is sequence-sharded (context parallel) while KV is gathered.
+# segment_ids [B, T]/[B, S] int32 (0 = padding). `q_offset`/`kv_offset` give
+# global positions for sequence-sharded Q/KV (context parallel).
 
 import functools
 import math
@@ -80,39 +87,42 @@ def packed_attention_reference(
 
 
 # ---------------------------------------------------------------------------
-# Pallas forward kernel
+# Kernel helpers
 # ---------------------------------------------------------------------------
 
 
-def _causal_block_mask(mask, q_off, kv_off, iq, ikv, block_q, block_kv,
-                       transpose=False):
-    if not transpose:
-        rows = q_off + iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 0
-        )
+def _row_positions(q_off, iq, block_q, group, block_kv):
+    """Global sequence position of each row of the merged (G*bq, bkv) tile."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (group * block_q, block_kv), 0)
+    return q_off + iq * block_q + row % block_q
+
+
+def _tile_mask(q_seg, kv_seg, q_off, kv_off, iq, ikv, block_q, block_kv,
+               group, causal):
+    """(same segment) AND (causal) over the merged tile."""
+    q_seg_m = jnp.tile(q_seg, (group,))  # [G*bq]
+    mask = q_seg_m[:, None] == kv_seg[None, :]
+    if causal:
+        rows = _row_positions(q_off, iq, block_q, group, block_kv)
         cols = kv_off + ikv * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 1
+            jnp.int32, (group * block_q, block_kv), 1
         )
-    else:
-        cols = kv_off + ikv * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (block_kv, block_q), 0
-        )
-        rows = q_off + iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_kv, block_q), 1
-        )
-    return jnp.logical_and(mask, rows >= cols)
+        mask = jnp.logical_and(mask, rows >= cols)
+    return mask
 
 
 def _fwd_kernel(
-    q_off_ref,  # SMEM [1]
+    q_off_ref,  # SMEM [2] = [q_off, kv_off]
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,  # inputs
     out_ref, lse_ref,  # outputs
     m_scratch, l_scratch, acc_scratch,  # scratch
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
+    group: int,
 ):
     iq, ikv = pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
+    G = group
 
     @pl.when(ikv == 0)
     def _init():
@@ -127,27 +137,25 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)  # [bkv, d]
+        # bf16 in, fp32 accumulation: full-rate MXU
+        q = q_ref[0, 0].reshape(G * block_q, q_ref.shape[-1])
+        k = k_ref[0, 0]  # [bkv, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bq, bkv]
+        ) * scale  # [G*bq, bkv] f32
 
-        q_seg = q_seg_ref[0, 0]  # [bq] int32 (lane vector)
-        kv_seg = kv_seg_ref[0, 0]  # [bkv]
-        mask = q_seg[:, None] == kv_seg[None, :]
-        if causal:
-            mask = _causal_block_mask(
-                mask, q_off, kv_off, iq, ikv, block_q, block_kv
-            )
+        mask = _tile_mask(
+            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+            block_q, block_kv, G, causal,
+        )
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_scratch[:, :1]  # [bq, 1]
+        m_prev = m_scratch[:, :1]  # [G*bq, 1]
         l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)  # [bq, bkv]
+        p = jnp.exp(s - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
@@ -169,9 +177,11 @@ def _fwd_kernel(
         l = l_scratch[:, :1]
         # all-masked rows (padding) have l == 0; emit zeros, keep lse finite
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, 0] = (acc_scratch[:] / l_safe).astype(out_ref.dtype)
+        out_ref[0, 0] = (acc_scratch[:] / l_safe).reshape(out_ref.shape[2:]).astype(
+            out_ref.dtype
+        )
         lse = m_scratch[:, 0] + jnp.log(jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0]))
-        lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
+        lse_ref[0, 0] = lse.reshape(G, block_q).astype(lse_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -185,10 +195,13 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
+    group: int,
 ):
     iq, ikv = pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
+    G = group
+    D = q_ref.shape[-1]
 
     @pl.when(ikv == 0)
     def _init():
@@ -200,25 +213,24 @@ def _bwd_dq_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0].reshape(G * block_q, D)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].reshape(G * block_q, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        mask = q_seg_ref[0, 0][:, None] == kv_seg_ref[0, 0][None, :]
-        if causal:
-            mask = _causal_block_mask(
-                mask, q_off, kv_off, iq, ikv, block_q, block_kv
-            )
-        lse = lse_ref[0, 0, 0][:, None]  # [bq, 1]
+        mask = _tile_mask(
+            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+            block_q, block_kv, G, causal,
+        )
+        lse = lse_ref[0, 0].reshape(G * block_q)[:, None]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bkv]
-        delta = delta_ref[0, 0, 0][:, None]  # [bq, 1]
-        ds = p * (dp - delta)
+        )  # [G*bq, bkv]
+        delta = delta_ref[0, 0].reshape(G * block_q)[:, None]
+        ds = (p * (dp - delta)).astype(k.dtype)
         dq_scratch[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -232,7 +244,7 @@ def _bwd_dq_kernel(
 
     @pl.when(ikv == last)
     def _finalize():
-        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+        dq_ref[0, 0] = dq_scratch[:].reshape(dq_ref.shape[2:]).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
@@ -241,10 +253,13 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int, nq: int,
+    group: int,
 ):
     ikv, iq = pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
+    G = group
+    D = q_ref.shape[-1]
 
     @pl.when(iq == 0)
     def _init():
@@ -258,28 +273,29 @@ def _bwd_dkv_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0].reshape(G * block_q, D)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].reshape(G * block_q, D)
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bkv, bq]
-        mask = kv_seg_ref[0, 0][:, None] == q_seg_ref[0, 0][None, :]
-        if causal:
-            mask = _causal_block_mask(
-                mask, q_off, kv_off, iq, ikv, block_q, block_kv, transpose=True
-            )
-        lse = lse_ref[0, 0, 0][None, :]  # [1, bq]
-        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, bq]
+        ) * scale  # [bkv, G*bq]
+        mask = _tile_mask(
+            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+            block_q, block_kv, G, causal,
+        ).T
+        lse = lse_ref[0, 0].reshape(G * block_q)[None, :]
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, G*bq]
+        # dV and dK accumulate over the whole GQA group in one pass
         dv_scratch[:] += jax.lax.dot_general(
-            pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pt.astype(do.dtype), do,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         dpt = jax.lax.dot_general(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bkv, bq]
-        delta = delta_ref[0, 0, 0][None, :]  # [1, bq]
-        dst = pt * (dpt - delta)
+        )  # [bkv, G*bq]
+        delta = delta_ref[0, 0].reshape(G * block_q)[None, :]
+        dst = (pt * (dpt - delta)).astype(q.dtype)
         dk_scratch[:] += scale * jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -305,21 +321,29 @@ def _pad_to(x, multiple, axis):
     return jnp.pad(x, widths)
 
 
+def _grouped_views(q, k, v):
+    """[B,T,H,D]/[B,S,Hkv,D] -> qg [B,Hkv,G,T,D], kh/vh [B,Hkv,S,D]."""
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    qg = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+    return qg, kh, vh, G
+
+
 def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
                 interpret):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
-    group = H // Hkv
-    qh = q.transpose(0, 2, 1, 3)
-    kh = k.transpose(0, 2, 1, 3)
-    vh = v.transpose(0, 2, 1, 3)
+    qg, kh, vh, G = _grouped_views(q, k, v)
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
-    grid = (B, H, nq, nkv)
+    grid = (B, Hkv, nq, nkv)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_kv=block_kv, nkv=nkv,
+        block_q=block_q, block_kv=block_kv, nkv=nkv, group=G,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -328,105 +352,102 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, G, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, 1, T), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, G, T), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _MIN_LANE), jnp.float32),
-            pltpu.VMEM((block_q, _MIN_LANE), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
+            pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
+            pltpu.VMEM((G * block_q, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qh, kh, vh)
-    return out.transpose(0, 2, 1, 3), lse
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    return out, lse  # lse [B, Hkv, G, T]
 
 
 def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
                 block_q, block_kv, interpret):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
-    group = H // Hkv
-    qh = q.transpose(0, 2, 1, 3)
-    kh = k.transpose(0, 2, 1, 3)
-    vh = v.transpose(0, 2, 1, 3)
-    doh = do.transpose(0, 2, 1, 3)
-    outh = out.transpose(0, 2, 1, 3)
-    delta = jnp.sum(doh.astype(jnp.float32) * outh.astype(jnp.float32), axis=-1)[
-        :, :, None, :
-    ]
+    qg, kh, vh, G = _grouped_views(q, k, v)
+    dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    outg = out.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    delta = jnp.sum(
+        dog.astype(jnp.float32) * outg.astype(jnp.float32), axis=-1
+    )  # [B, Hkv, G, T]
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
 
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_kv=block_kv, nkv=nkv,
+            block_q=block_q, block_kv=block_kv, nkv=nkv, group=G,
         ),
-        grid=(B, H, nq, nkv),
+        grid=(B, Hkv, nq, nkv),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h // group, ikv, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, G, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, G, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ikv: (b, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((G * block_q, D), jnp.float32)],
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qh, kh, vh, doh, lse, delta)
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_kv=block_kv, nq=nq,
+            block_q=block_q, block_kv=block_kv, nq=nq, group=G,
         ),
-        grid=(B, H, nkv, nq),
+        grid=(B, Hkv, nkv, nq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, ikv, iq: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, iq: (b, 0, ikv)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, ikv, iq: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h // group, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h // group, ikv, 0)),
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, ikv, iq: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, ikv, iq: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, ikv, iq: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, G, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, G, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, D), jnp.float32),
             pltpu.VMEM((block_kv, D), jnp.float32),
         ],
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qh, kh, vh, doh, lse, delta)
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
 
-    dq = dq.transpose(0, 2, 1, 3)
+    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
     dk = dk.transpose(0, 2, 1, 3)
     dv = dv.transpose(0, 2, 1, 3)
-    if group > 1:  # reduce dk/dv over the GQA group
-        dk = dk.reshape(B, S, Hkv, group, D).sum(axis=3)
-        dv = dv.reshape(B, S, Hkv, group, D).sum(axis=3)
     return dq, dk, dv
 
 
@@ -484,8 +505,8 @@ def flash_attention(
         segment_ids: [B, T] int32 document ids for q; 0 marks padding.
             Attention is restricted to (same segment) AND (causal).
         kv_segment_ids: [B, S]; defaults to segment_ids (self-attention).
-        q_offset: global position of q row 0 (context-parallel Q sharding
-            with gathered KV); scalar int.
+        q_offset / kv_offset: global positions of row/col 0 (context
+            parallel); scalar ints.
         causal / scale / block_q / block_kv: kernel options.
         use_pallas: force the kernel path; defaults to True on TPU backends.
         interpret: run the Pallas kernel in interpreter mode (debugging).

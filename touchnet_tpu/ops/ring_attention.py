@@ -130,8 +130,9 @@ def _ring_fwd(q, k, v, q_seg, kv_seg, axis_name, n, causal, scale, block_q,
         out_p, lse_p = _fwd_pallas(
             q, k_c, v_c, q_seg, seg_c, _offsets(q_off, j * Tkv), causal,
             scale, block_q, block_kv, interpret,
-        )  # out [B,T,H,D], lse [B,H,1,T]
-        lse_p = lse_p[:, :, 0].transpose(0, 2, 1)  # [B,T,H]
+        )  # out [B,T,H,D], lse [B,Hkv,G,T]
+        Bp, Hkv, G, Tp = lse_p.shape
+        lse_p = lse_p.transpose(0, 3, 1, 2).reshape(Bp, Tp, Hkv * G)  # [B,T,H]
         num, den, m = _combine(num, den, m, out_p.astype(jnp.float32), lse_p)
         if s_i + 1 < n:
             k_c, v_c, seg_c = _rotate([k_c, v_c, seg_c], axis_name, n)
@@ -146,10 +147,14 @@ def _ring_bwd(q, k, v, q_seg, kv_seg, out, final_lse, dout, axis_name, n,
     i = jax.lax.axis_index(axis_name)
     Tq, Tkv = q.shape[1], k.shape[1]
     q_off = i * Tq
-    # lse in kernel layout [B,H,1,T]; padding rows with -inf lse would make
+    # lse in kernel layout [B,Hkv,G,T]; padding rows with -inf lse would make
     # exp(s - lse) explode — clamp to 0 (their p is masked to 0 anyway)
+    Hkv = k.shape[2]
+    H = q.shape[2]
+    G = H // Hkv
     lse_k = jnp.where(jnp.isfinite(final_lse), final_lse, 0.0)
-    lse_k = lse_k.transpose(0, 2, 1)[:, :, None, :]
+    Bq, Tq_, _ = lse_k.shape
+    lse_k = lse_k.reshape(Bq, Tq_, Hkv, G).transpose(0, 2, 3, 1)
     dq_acc = jnp.zeros(q.shape, jnp.float32)
     k_c, v_c, seg_c = k, v, kv_seg
     dk_c = jnp.zeros(k.shape, jnp.float32)
