@@ -64,7 +64,7 @@ def build(config_kw, batch, seqlen):
             config=config,
             remat_mode="full",
             block_q=512,
-            block_kv=512,
+            block_kv=1024,
         )
         loss, _ = cross_entropy_loss(
             logits, b["labels"], b["sentence_lens"], num_sentence

@@ -322,7 +322,7 @@ def forward(
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
     return_audio_logits: bool = False,
 ):

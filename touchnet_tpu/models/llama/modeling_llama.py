@@ -153,7 +153,7 @@ def forward(
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",  # none | full | selective(op)
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
     return_hidden: bool = False,
 ) -> jax.Array:

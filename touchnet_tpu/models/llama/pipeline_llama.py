@@ -33,7 +33,7 @@ def pipeline_forward(
     compute_dtype=jnp.bfloat16,
     remat_mode: str = "full",
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     shard_fn=None,
 ) -> jax.Array:
     """Pipelined logits [B, T, V]. Microbatch count defaults to pp degree

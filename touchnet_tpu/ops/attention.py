@@ -99,13 +99,33 @@ def _row_positions(q_off, iq, block_q, group, block_kv):
 
 def _tile_mask(q_seg, kv_seg, q_off, kv_off, iq, ikv, block_q, block_kv,
                group, causal):
-    """(same segment) AND (causal) over the merged tile."""
-    q_seg_m = jnp.tile(q_seg, (group,))  # [G*bq]
-    mask = q_seg_m[:, None] == kv_seg[None, :]
+    """(same segment) AND (causal) over the merged (G*bq, bkv) tile.
+    Tiling happens in 2D (Mosaic supports sublane concatenation of 2D tiles
+    but not 1D vector concat)."""
+    seg_mask = q_seg[:, None] == kv_seg[None, :]  # [bq, bkv]
+    mask = jnp.tile(seg_mask, (group, 1))  # [G*bq, bkv]
     if causal:
         rows = _row_positions(q_off, iq, block_q, group, block_kv)
         cols = kv_off + ikv * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (group * block_q, block_kv), 1
+        )
+        mask = jnp.logical_and(mask, rows >= cols)
+    return mask
+
+
+def _tile_mask_t(q_seg, kv_seg, q_off, kv_off, iq, ikv, block_q, block_kv,
+                 group, causal):
+    """Transposed (bkv, G*bq) tile mask built directly (Mosaic cannot
+    transpose boolean tiles)."""
+    q_seg_row = jnp.tile(q_seg[None, :], (1, group))  # [1, G*bq] lane concat
+    mask = kv_seg[:, None] == q_seg_row  # [bkv, G*bq]
+    if causal:
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, group * block_q), 1
+        )
+        rows = q_off + iq * block_q + lane % block_q  # q positions on lanes
+        cols = kv_off + ikv * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, group * block_q), 0
         )
         mask = jnp.logical_and(mask, rows >= cols)
     return mask
@@ -181,7 +201,7 @@ def _fwd_kernel(
             out_ref.dtype
         )
         lse = m_scratch[:, 0] + jnp.log(jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0]))
-        lse_ref[0, 0] = lse.reshape(G, block_q).astype(lse_ref.dtype)
+        lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -224,12 +244,12 @@ def _bwd_dq_kernel(
             q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
             block_q, block_kv, G, causal,
         )
-        lse = lse_ref[0, 0].reshape(G * block_q)[:, None]
+        lse = lse_ref[0, 0, 0][:, None]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G*bq, bkv]
-        delta = delta_ref[0, 0].reshape(G * block_q)[:, None]
+        delta = delta_ref[0, 0, 0][:, None]
         ds = (p * (dp - delta)).astype(k.dtype)
         dq_scratch[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -280,11 +300,11 @@ def _bwd_dkv_kernel(
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bkv, G*bq]
-        mask = _tile_mask(
+        mask = _tile_mask_t(
             q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
             block_q, block_kv, G, causal,
-        ).T
-        lse = lse_ref[0, 0].reshape(G * block_q)[None, :]
+        )
+        lse = lse_ref[0, 0, 0][None, :]
         pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, G*bq]
         # dV and dK accumulate over the whole GQA group in one pass
         dv_scratch[:] += jax.lax.dot_general(
@@ -294,7 +314,7 @@ def _bwd_dkv_kernel(
         dpt = jax.lax.dot_general(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bkv, G*bq]
-        delta = delta_ref[0, 0].reshape(G * block_q)[None, :]
+        delta = delta_ref[0, 0, 0][None, :]
         dst = (pt * (dpt - delta)).astype(q.dtype)
         dk_scratch[:] += scale * jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -319,6 +339,20 @@ def _pad_to(x, multiple, axis):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _unpermute_lse(flat, Hkv, G, nq, block_q):
+    """[B, Hkv, 1, nq*G*bq] (iq, g, row ordering) -> [B, Hkv, G, T]."""
+    B = flat.shape[0]
+    x = flat.reshape(B, Hkv, nq, G, block_q)
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, Hkv, G, nq * block_q)
+
+
+def _permute_lse(lse, nq, block_q):
+    """[B, Hkv, G, T] -> flat [B, Hkv, 1, nq*G*bq] kernel layout."""
+    B, Hkv, G, T = lse.shape
+    x = lse.reshape(B, Hkv, G, nq, block_q)
+    return x.transpose(0, 1, 3, 2, 4).reshape(B, Hkv, 1, nq * G * block_q)
 
 
 def _grouped_views(q, k, v):
@@ -358,11 +392,13 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, G, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, G, T), jnp.float32),
+            # lse in a block-permuted flat layout: [(iq, g, row)] on the last
+            # dim; _unpermute_lse restores [B, Hkv, G, T]
+            jax.ShapeDtypeStruct((B, Hkv, 1, nq * G * block_q), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
@@ -372,6 +408,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
         interpret=interpret,
     )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse  # lse [B, Hkv, G, T]
 
 
@@ -387,6 +424,8 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
     )  # [B, Hkv, G, T]
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
+    lse = _permute_lse(lse, nq, block_q)
+    delta = _permute_lse(delta, nq, block_q)
 
     dq = pl.pallas_call(
         functools.partial(
@@ -402,8 +441,8 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, G, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, G, block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)
@@ -427,8 +466,8 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, ikv, iq: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, G, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, G, block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
@@ -491,7 +530,7 @@ def flash_attention(
     causal: bool = True,
     scale: Optional[float] = None,
     block_q: int = 512,
-    block_kv: int = 512,
+    block_kv: int = 1024,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
     kv_segment_ids: Optional[jax.Array] = None,
