@@ -1,0 +1,127 @@
+# CheckpointManager behavior: cadence (step-1 fail-fast, interval, force),
+# keep-latest-k purge, step-0 model-only seed, exclude_from_loading,
+# weights-only dtype export, async mode.
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from touchnet_tpu.bin import TrainConfig
+from touchnet_tpu.utils.checkpoint import CheckpointManager, export_weights_only
+
+
+def make_state(seed=0):
+    params = {"w": jax.random.normal(jax.random.PRNGKey(seed), (8, 8)),
+              "b": jnp.zeros((8,))}
+    tx = optax.adamw(1e-3)
+    return params, tx.init(params)
+
+
+class FakeLoader:
+    def __init__(self):
+        self.state = {"dp_rank_0": {"x": 1}, "world_size": 1}
+
+    def state_dict(self):
+        return self.state
+
+    def load_state_dict(self, s):
+        self.state = s
+
+
+def make_cfg(tmp_path, **over):
+    cfg = TrainConfig(
+        training_enable_ckpt=True,
+        training_trace_dump_folder=str(tmp_path),
+        training_ckpt_interval=2,
+        training_ckpt_keep_latest_k=2,
+    )
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_cadence_and_keep_k(tmp_path):
+    params, opt = make_state()
+    mgr = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    assert mgr.save(1, params, opt)          # step-1 fail-fast
+    assert not mgr.save(3, params, opt)      # off-interval
+    assert mgr.save(2, params, opt)
+    assert mgr.save(4, params, opt)
+    assert mgr.save(6, params, opt)
+    assert mgr.save(7, params, opt, force=True)
+    mgr.wait_until_finished()
+    steps = sorted(
+        int(p.split("_")[1]) for p in os.listdir(tmp_path / "checkpoint")
+        if p.startswith("step_")
+    )
+    assert steps == [6, 7], steps  # keep-latest-2 purged the rest
+    mgr.close()
+
+
+def test_resume_and_exclude(tmp_path):
+    params, opt = make_state()
+    loader = FakeLoader()
+    mgr = CheckpointManager(loader, make_cfg(tmp_path))
+    loader.state = {"dp_rank_0": {"x": 42}, "world_size": 1}
+    trained = jax.tree.map(lambda x: x + 1.0, params)
+    mgr.save(2, trained, opt)
+    mgr.wait_until_finished()
+    mgr.close()
+
+    params2, opt2 = make_state(seed=1)
+    loader2 = FakeLoader()
+    mgr2 = CheckpointManager(loader2, make_cfg(tmp_path))
+    out = mgr2.load(params2, opt2)
+    assert out["step"] == 2
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]),
+                               np.asarray(trained["w"]))
+    assert loader2.state["dp_rank_0"]["x"] == 42
+    mgr2.close()
+
+    # exclude dataloader from loading
+    loader3 = FakeLoader()
+    mgr3 = CheckpointManager(
+        loader3, make_cfg(tmp_path, training_ckpt_exclude_from_loading="dataloader")
+    )
+    mgr3.load(params2, opt2)
+    assert loader3.state["dp_rank_0"]["x"] == 1  # untouched
+    mgr3.close()
+
+
+def test_load_specific_and_missing_step(tmp_path):
+    params, opt = make_state()
+    mgr = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    mgr.save(2, params, opt)
+    mgr.wait_until_finished()
+    mgr.close()
+    mgr2 = CheckpointManager(
+        FakeLoader(), make_cfg(tmp_path, training_ckpt_load_step=99)
+    )
+    out = mgr2.load(params, opt)
+    assert not out["loaded"]  # missing step -> fresh start
+    mgr2.close()
+
+
+def test_weights_only_export(tmp_path):
+    params, _ = make_state()
+    folder = tmp_path / "weights_only"
+    export_weights_only(params, str(folder), dtype="bfloat16")
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(str(folder))
+    assert restored["leaf_0"].dtype == jnp.bfloat16
+
+
+def test_async_mode(tmp_path):
+    params, opt = make_state()
+    mgr = CheckpointManager(
+        FakeLoader(), make_cfg(tmp_path, training_ckpt_async_mode="async")
+    )
+    mgr.save(2, params, opt)
+    mgr.wait_until_finished()
+    assert os.path.exists(tmp_path / "checkpoint" / "step_2")
+    mgr.close()
