@@ -125,6 +125,44 @@ class GlobalBatchLoader:
             ld.shutdown()
 
 
+class DevicePrefetcher:
+    """Stages the next global batch on device while the current step runs
+    (reference: pin_memory + prefetch in torchdata; here jax.device_put
+    double buffering via a background thread)."""
+
+    def __init__(self, batch_iter, put_fn, depth: int = 2):
+        import queue
+        import threading
+
+        self.put_fn = put_fn
+        self.queue = queue.Queue(maxsize=max(1, depth))
+        self.error = None
+        self._done = object()
+
+        def fill():
+            try:
+                for batch in batch_iter:
+                    self.queue.put(self.put_fn(batch))
+            except BaseException as e:  # surfaced on next()
+                self.error = e
+            finally:
+                self.queue.put(self._done)
+
+        self.thread = threading.Thread(target=fill, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.queue.get()
+        if item is self._done:
+            if self.error is not None:
+                raise self.error
+            raise StopIteration
+        return item
+
+
 class Trainer:
     def __init__(
         self,
@@ -407,18 +445,24 @@ class Trainer:
         logger.info(f"training starts at step {self.step + 1}/{total_steps}")
         with maybe_enable_profiling(cfg, self.step) as profiler, \
                 maybe_enable_memory_snapshot(cfg, self.step) as mem_profiler:
-            data_iter = iter(self.dataloader)
+            def stage(batch):
+                ntokens = int((batch["labels"] != -100).sum())
+                device_batch, num_sentence = self._put_batch(batch)
+                return device_batch, num_sentence, ntokens
+
+            data_iter = DevicePrefetcher(
+                iter(self.dataloader), stage,
+                depth=self.data_config.dataloader_device_prefetch,
+            )
             last_metrics = None
             while self.step < total_steps:
                 self.gc_handler.run(self.step)
                 t0 = time.perf_counter()
                 try:
-                    batch = next(data_iter)
+                    device_batch, num_sentence, ntokens = next(data_iter)
                 except StopIteration:
                     logger.info("dataloader exhausted; ending training")
                     break
-                ntokens = int((batch["labels"] != -100).sum())
-                device_batch, num_sentence = self._put_batch(batch)
                 self.metrics_processor.data_loading_times.append(
                     time.perf_counter() - t0
                 )
