@@ -75,13 +75,20 @@ class GlobalBatchLoader:
     (touchnet/data/dataloader.py). Under one controller we instantiate all
     dp_degree streams and concatenate along batch, so sample order per rank
     is bit-identical to the reference layout; state is the union of the
-    per-rank states."""
+    per-rank states.
 
-    def __init__(self, build_fn, data_config, tokenizer, dp_degree: int, split: str):
+    Multi-host: each process instantiates only the dp-rank streams it is
+    responsible for (`dp_ranks`); the trainer turns the process-local
+    concatenation into a global array with
+    jax.make_array_from_process_local_data."""
+
+    def __init__(self, build_fn, data_config, tokenizer, dp_degree: int,
+                 split: str, dp_ranks=None):
         self.dp_degree = dp_degree
+        self.dp_ranks = list(range(dp_degree)) if dp_ranks is None else list(dp_ranks)
         self.loaders = [
             build_fn(data_config, tokenizer, r, dp_degree, split)
-            for r in range(dp_degree)
+            for r in self.dp_ranks
         ]
 
     def __iter__(self):
@@ -112,6 +119,20 @@ class GlobalBatchLoader:
             state.update(ld.state_dict())
         state["world_size"] = self.dp_degree
         return state
+
+    @staticmethod
+    def local_dp_ranks(parallel_dims, mesh):
+        """dp ranks whose batch shards live on this process's devices."""
+        if jax.process_count() == 1:
+            return None
+        import numpy as np
+
+        local = set()
+        devs = mesh.devices  # [pp, dp_replicate, dp_shard, cp, tp]
+        for idx in np.ndindex(devs.shape):
+            if devs[idx].process_index == jax.process_index():
+                local.add(idx[1] * parallel_dims.dp_shard + idx[2])
+        return sorted(local)
 
     def load_state_dict(self, state):
         for ld in self.loaders:
@@ -227,12 +248,16 @@ class Trainer:
             dump_config_json(cfg, os.path.join(dump_dir, f"{name}.json"))
 
         self.tokenizer = self.train_spec.build_tokenizer_fn(tokenizer_config)
+        self._local_dp_ranks = GlobalBatchLoader.local_dp_ranks(
+            self.parallel_dims, self.mesh
+        )
         self.dataloader = GlobalBatchLoader(
             self.train_spec.build_dataloader_fn,
             data_config,
             self.tokenizer,
             self.parallel_dims.dp_degree,
             "train",
+            dp_ranks=self._local_dp_ranks,
         )
         self.has_dev = data_config.datalist_dev_path is not None
 
@@ -426,17 +451,33 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _put_batch(self, batch: Dict[str, Any]):
-        """Host batch -> device arrays sharded (dp, cp)."""
+        """Host batch -> device arrays sharded (dp, cp). Multi-host: the
+        batch holds only this process's dp shards; assemble the global array
+        from process-local data."""
         arrays = {
             k: batch[k]
             for k in _BATCH_ARRAY_KEYS
             if batch.get(k) is not None and isinstance(batch[k], np.ndarray)
         }
         specs = batch_specs(arrays, self.mesh)
-        device_batch = jax.device_put(arrays, specs)
+        if jax.process_count() > 1:
+            device_batch = jax.tree.map(
+                lambda a, sh: jax.make_array_from_process_local_data(sh, a),
+                arrays, specs,
+            )
+            num_sentence = jnp.asarray(
+                float(batch.get("num_sentence", 0)), jnp.float32
+            )
+            # global sentence count: sum over processes (reference
+            # dist_sum over mesh["dp"], train.py:340-343)
+            from jax.experimental import multihost_utils
+
+            num_sentence = multihost_utils.process_allgather(num_sentence).sum()
+        else:
+            device_batch = jax.device_put(arrays, specs)
+            num_sentence = jnp.asarray(batch.get("num_sentence", 0), jnp.float32)
         for k in _BATCH_ARRAY_KEYS:
             device_batch.setdefault(k, None)
-        num_sentence = jnp.asarray(batch.get("num_sentence", 0), jnp.float32)
         return device_batch, num_sentence
 
     def train(self):
