@@ -193,3 +193,19 @@ def test_train_e2e_ring_attention_cp(tmp_path):
     )
     trainer = run_trainer(argv)
     assert trainer.step == 3
+
+
+@pytest.mark.slow
+def test_dev_eval_runs_at_ckpt_steps(tmp_path):
+    """datalist_dev_path triggers the dev() loop at checkpoint steps
+    (reference train.py:535-536)."""
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=2,
+        training_enable_ckpt=True, training_ckpt_interval=2,
+        datalist_dev_path=listfile,
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 2
+    log = open(tmp_path / "exp" / "touchnet_train.log").read()
+    assert "[dev]" in log

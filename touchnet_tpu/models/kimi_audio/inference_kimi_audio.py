@@ -122,7 +122,7 @@ def main(argv=None):
             })
         logger.info(f"decoded {len(results)}/{len(dataset)}")
     write_results(part_file(config.output_dir, rank), results)
-    data_config  # parsed for CLI parity
+    del data_config  # parsed for recipe-flag compatibility only
 
 
 if __name__ == "__main__":

@@ -93,7 +93,7 @@ def main(argv=None):
             })
         logger.info(f"decoded {len(results)}/{len(dataset)}")
     write_results(part_file(config.output_dir, rank), results)
-    data_config  # parsed for CLI parity with the reference recipe flags
+    del data_config  # parsed for recipe-flag compatibility only
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@
 # when no HF processor is given, so the pipeline works offline; with
 # data_config.processor_model set, the HF AutoProcessor is used verbatim.
 
-from typing import Optional
+
 
 import numpy as np
 

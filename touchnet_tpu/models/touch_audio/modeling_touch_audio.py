@@ -18,7 +18,6 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from touchnet_tpu.models import llama as llama_family
 from touchnet_tpu.models.common import kaiming_uniform_init, linear
 from touchnet_tpu.models.llama import modeling_llama
 from touchnet_tpu.models.touch_audio.configuration_touch_audio import (
@@ -105,5 +104,3 @@ def get_num_flop_per_token(
         num_params, config.text_config, seq_len
     )
 
-
-llama_family  # imported for registration ordering clarity

@@ -367,13 +367,30 @@ def _grouped_views(q, k, v):
 
 
 def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
-                interpret):
+                interpret, static_zero_offsets=False):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     qg, kh, vh, G = _grouped_views(q, k, v)
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
     grid = (B, Hkv, nq, nkv)
+
+    if causal and static_zero_offsets:
+        # clamp the kv block index for causally-skipped grid steps: repeated
+        # indices make the pipeline elide the (otherwise wasted) DMA
+        def kv_index(b, h, iq, ikv):
+            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
+            return (b, h, jnp.minimum(ikv, last), 0)
+
+        def kv_seg_index(b, h, iq, ikv):
+            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
+            return (b, 0, jnp.minimum(ikv, last))
+    else:
+        def kv_index(b, h, iq, ikv):
+            return (b, h, ikv, 0)
+
+        def kv_seg_index(b, h, iq, ikv):
+            return (b, 0, ikv)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
@@ -385,10 +402,10 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
-            pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
+            pl.BlockSpec((1, 1, block_kv), kv_seg_index),
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
@@ -413,7 +430,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
 
 
 def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
-                block_q, block_kv, interpret):
+                block_q, block_kv, interpret, static_zero_offsets=False):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     qg, kh, vh, G = _grouped_views(q, k, v)
@@ -427,6 +444,42 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
     lse = _permute_lse(lse, nq, block_q)
     delta = _permute_lse(delta, nq, block_q)
 
+    if causal and static_zero_offsets:
+        def kv_index(b, h, iq, ikv):
+            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
+            return (b, h, jnp.minimum(ikv, last), 0)
+
+        def kv_seg_index(b, h, iq, ikv):
+            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
+            return (b, 0, jnp.minimum(ikv, last))
+
+        def q_index(b, h, ikv, iq):
+            first = (ikv * block_kv) // block_q
+            return (b, h, 0, jnp.maximum(iq, first), 0)
+
+        def q_flat_index(b, h, ikv, iq):
+            first = (ikv * block_kv) // block_q
+            return (b, h, 0, jnp.maximum(iq, first))
+
+        def q_seg_index(b, h, ikv, iq):
+            first = (ikv * block_kv) // block_q
+            return (b, 0, jnp.maximum(iq, first))
+    else:
+        def kv_index(b, h, iq, ikv):
+            return (b, h, ikv, 0)
+
+        def kv_seg_index(b, h, iq, ikv):
+            return (b, 0, ikv)
+
+        def q_index(b, h, ikv, iq):
+            return (b, h, 0, iq, 0)
+
+        def q_flat_index(b, h, ikv, iq):
+            return (b, h, 0, iq)
+
+        def q_seg_index(b, h, ikv, iq):
+            return (b, 0, iq)
+
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
@@ -436,10 +489,10 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
-            pl.BlockSpec((1, 1, block_kv), lambda b, h, iq, ikv: (b, 0, ikv)),
+            pl.BlockSpec((1, 1, block_kv), kv_seg_index),
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, iq, ikv: (b, h, ikv, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
             pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
             pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
             pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
@@ -460,14 +513,14 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
         grid=(B, Hkv, nkv, nq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, ikv, iq: (b, 0, iq)),
+            pl.BlockSpec((1, 1, block_q), q_seg_index),
             pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, iq: (b, 0, ikv)),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, ikv, iq: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, G, block_q, D), q_index),
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, ikv, iq: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, ikv, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, G, block_q, D), q_index),
+            pl.BlockSpec((1, 1, 1, G * block_q), q_flat_index),
+            pl.BlockSpec((1, 1, 1, G * block_q), q_flat_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
@@ -495,26 +548,27 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _flash_attention(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
-                     block_kv, interpret):
+                     block_kv, interpret, static_zero_offsets):
     out, _ = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
-                         block_q, block_kv, interpret)
+                         block_q, block_kv, interpret, static_zero_offsets)
     return out
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
-               interpret):
+               interpret, static_zero_offsets):
     out, lse = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
-                           block_q, block_kv, interpret)
+                           block_q, block_kv, interpret, static_zero_offsets)
     return out, (q, k, v, q_seg, kv_seg, q_off, out, lse)
 
 
-def _flash_bwd(causal, scale, block_q, block_kv, interpret, res, g):
+def _flash_bwd(causal, scale, block_q, block_kv, interpret,
+               static_zero_offsets, res, g):
     q, k, v, q_seg, kv_seg, q_off, out, lse = res
     dq, dk, dv = _bwd_pallas(
         q, k, v, q_seg, kv_seg, q_off, out, lse, g, causal, scale,
-        block_q, block_kv, interpret,
+        block_q, block_kv, interpret, static_zero_offsets,
     )
     return dq, dk, dv, None, None, None
 
@@ -582,12 +636,13 @@ def flash_attention(
     vp = _pad_to(v, block_kv, 1)
     q_segp = _pad_to(segment_ids, block_q, 1)
     kv_segp = _pad_to(kv_segment_ids, block_kv, 1)
+    static_zero_offsets = q_offset is None and kv_offset is None
     q_off = jnp.stack([
         jnp.asarray(0 if q_offset is None else q_offset, jnp.int32).reshape(()),
         jnp.asarray(0 if kv_offset is None else kv_offset, jnp.int32).reshape(()),
     ])
     out = _flash_attention(
         qp, kp, vp, q_segp, kv_segp, q_off, causal, scale, block_q, block_kv,
-        interpret,
+        interpret, static_zero_offsets,
     )
     return out[:, :T]
