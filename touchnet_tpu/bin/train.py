@@ -325,6 +325,20 @@ class Trainer:
             self.opt_state = jax.jit(
                 self.tx.init, out_shardings=opt_out_shardings
             )(self.params)
+        if job_config.training_enable_cpu_offload:
+            # optimizer state lives in host memory (reference
+            # CPUOffloadPolicy, helper_func.py:160); XLA streams it per step
+            def host(x):
+                try:
+                    return jax.device_put(
+                        x, x.sharding.with_memory_kind("pinned_host")
+                    )
+                except Exception:  # backend without host memory kinds
+                    logger.warning("pinned_host memory unavailable; "
+                                   "cpu offload disabled")
+                    return x
+
+            self.opt_state = jax.tree.map(host, self.opt_state)
 
         self.checkpointer = CheckpointManager(self.dataloader, job_config)
         loaded = self.checkpointer.load(self.params, self.opt_state)
