@@ -62,7 +62,7 @@ def build(config_kw, batch, seqlen):
             segment_ids=b["attention_mask"],
             position_ids=b["position_ids"],
             config=config,
-            remat_mode="full",
+            remat_mode="selective",
             block_q=512,
             block_kv=1024,
         )

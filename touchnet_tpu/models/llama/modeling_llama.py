@@ -89,6 +89,35 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return params
 
 
+def _apply_remat(body: Callable, remat_mode: str) -> Callable:
+    """Activation-checkpoint modes (reference apply_ac,
+    helper_func.py:26-112):
+      full      — recompute everything per layer;
+      selective — save the flash-attention kernel's (out, lse) residuals so
+                  the backward pass never re-runs the forward kernel, and
+                  recompute the cheap matmul chain (the reference's
+                  selective-per-op "save sdpa" analog);
+      op        — save every no-batch-dim matmul output (more memory).
+    """
+    if remat_mode == "full":
+        return jax.checkpoint(body, prevent_cse=False)
+    if remat_mode == "selective":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse"
+            ),
+            prevent_cse=False,
+        )
+    if remat_mode == "op":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            prevent_cse=False,
+        )
+    return body
+
+
 def _default_attn(config: LlamaConfig, block_q: int, block_kv: int) -> Callable:
     if config.attn_implementation == "eager":
         return lambda q, k, v, seg: packed_attention_reference(q, k, v, seg)
@@ -188,14 +217,7 @@ def forward(
         lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
         return layer(carry, lp), None
 
-    if remat_mode == "full":
-        body = jax.checkpoint(body, prevent_cse=False)
-    elif remat_mode in ("selective", "op"):
-        body = jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            prevent_cse=False,
-        )
+    body = _apply_remat(body, remat_mode)
 
     h, _ = jax.lax.scan(body, h, mp["layers"])
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)

@@ -174,14 +174,9 @@ def forward(
         lp = jax.tree.map(lambda a: a.astype(compute_dtype), lp)
         return layer(carry, lp), None
 
-    if remat_mode == "full":
-        body = jax.checkpoint(body, prevent_cse=False)
-    elif remat_mode in ("selective", "op"):
-        body = jax.checkpoint(
-            body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            prevent_cse=False,
-        )
+    from touchnet_tpu.models.llama.modeling_llama import _apply_remat
+
+    body = _apply_remat(body, remat_mode)
     h, _ = jax.lax.scan(body, h, params["layers"])
     if apply_final_layer_norm:
         h = layer_norm(

@@ -558,8 +558,14 @@ def _flash_attention(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
                interpret, static_zero_offsets):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
                            block_q, block_kv, interpret, static_zero_offsets)
+    # named so remat policies can SAVE the kernel's residuals and skip
+    # re-running the forward attention kernel in the backward pass
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, q_seg, kv_seg, q_off, out, lse)
 
 
