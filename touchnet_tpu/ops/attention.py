@@ -326,6 +326,91 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_off_ref,
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    dq_scratch, dk_scratch, dv_scratch,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, nq: int,
+    nkv: int, group: int,
+):
+    """Single-pass backward (q blocks outer, kv blocks inner): each tile
+    computes p once and feeds dQ, dK and dV — one exp and 5 matmuls instead
+    of the 2 exps / 7 matmuls of the split kernels. dK/dV accumulate across
+    the whole sequence in VMEM scratch ([S, D] per kv head — G x smaller
+    than a dQ-resident layout); callers fall back to the split kernels when
+    it would not fit."""
+    iq, ikv = pl.program_id(2), pl.program_id(3)
+    q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
+    G = group
+    D = q_ref.shape[-1]
+    rows = G * block_q
+
+    @pl.when((iq == 0) & (ikv == 0))
+    def _init_dkv():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    @pl.when(ikv == 0)
+    def _init_dq():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    run = (not causal) or (
+        kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1
+    )
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].reshape(rows, D)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].reshape(rows, D)
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [G*bq, bkv]
+        mask = _tile_mask(
+            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+            block_q, block_kv, G, causal,
+        )
+        lse = lse_ref[0, 0, 0][:, None]
+        p = jnp.where(mask, jnp.exp(sc - lse), 0.0)  # [G*bq, bkv]
+        p_lp = p.astype(do.dtype)
+        kv_slice = pl.ds(ikv * block_kv, block_kv)
+        # dV += p^T @ dO (contract the row dim -> [bkv, D], no transpose)
+        dv_scratch[kv_slice, :] += jax.lax.dot_general(
+            p_lp, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [G*bq, bkv]
+        delta = delta_ref[0, 0, 0][:, None]
+        ds = (p * (dp - delta)).astype(q.dtype)  # [G*bq, bkv]
+        dk_scratch[kv_slice, :] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_scratch[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        last = jnp.clip(
+            pl.cdiv(q_off + (iq + 1) * block_q - kv_off, block_kv) - 1, 0, nkv - 1
+        )
+    else:
+        last = nkv - 1
+
+    @pl.when(ikv == last)
+    def _finalize_dq():
+        dq_ref[0, 0] = dq_scratch[:].reshape(dq_ref.shape[2:]).astype(dq_ref.dtype)
+
+    @pl.when((iq == nq - 1) & (ikv == nkv - 1))
+    def _finalize_dkv():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -433,6 +518,15 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
                 block_q, block_kv, interpret, static_zero_offsets=False):
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
+    G = H // Hkv
+    # the fused one-pass kernel keeps dK/dV for the WHOLE sequence in VMEM;
+    # use it when that scratch fits, otherwise fall back to the two-kernel
+    # split (longer sequences / bigger head dims)
+    if T == S and 2 * S * D * 4 <= 6 * 2**20:
+        return _bwd_pallas_fused(
+            q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
+            block_q, min(block_kv, 512), interpret, static_zero_offsets,
+        )
     qg, kh, vh, G = _grouped_views(q, k, v)
     dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
     outg = out.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
@@ -534,6 +628,81 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
             pltpu.VMEM((block_kv, D), jnp.float32),
             pltpu.VMEM((block_kv, D), jnp.float32),
         ],
+        interpret=interpret,
+    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
+
+    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    dk = dk.transpose(0, 2, 1, 3)
+    dv = dv.transpose(0, 2, 1, 3)
+    return dq, dk, dv
+
+
+def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
+                      scale, block_q, block_kv, interpret,
+                      static_zero_offsets=False):
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    qg, kh, vh, G = _grouped_views(q, k, v)
+    dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    outg = out.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    delta = jnp.sum(
+        dog.astype(jnp.float32) * outg.astype(jnp.float32), axis=-1
+    )
+    nq = pl.cdiv(T, block_q)
+    nkv = pl.cdiv(S, block_kv)
+    lse = _permute_lse(lse, nq, block_q)
+    delta = _permute_lse(delta, nq, block_q)
+
+    if causal and static_zero_offsets:
+        def kv_index(b, h, iq, ikv):
+            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
+            return (b, h, jnp.minimum(ikv, last), 0)
+
+        def kv_seg_index(b, h, iq, ikv):
+            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
+            return (b, 0, jnp.minimum(ikv, last))
+    else:
+        def kv_index(b, h, iq, ikv):
+            return (b, h, ikv, 0)
+
+        def kv_seg_index(b, h, iq, ikv):
+            return (b, 0, ikv)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_fused_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, nq=nq, nkv=nkv, group=G,
+        ),
+        grid=(B, Hkv, nq, nkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
+            pl.BlockSpec((1, 1, block_kv), kv_seg_index),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, iq, ikv: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, iq, ikv: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G * block_q, D), jnp.float32),
+            pltpu.VMEM((S, D), jnp.float32),
+            pltpu.VMEM((S, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
         interpret=interpret,
     )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
 
