@@ -525,7 +525,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
     if T == S and 2 * S * D * 4 <= 6 * 2**20:
         return _bwd_pallas_fused(
             q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
-            block_q, min(block_kv, 512), interpret, static_zero_offsets,
+            block_q, block_kv, interpret, static_zero_offsets,
         )
     qg, kh, vh, G = _grouped_views(q, k, v)
     dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
