@@ -78,7 +78,11 @@ def build(config_kw, batch, seqlen):
         return optax.apply_updates(p, updates), s, loss
 
     nparams = get_num_params(config)
-    fpt = get_num_flop_per_token(nparams, config, seqlen)
+    # MFU uses the embedding-free count (reference convention,
+    # touchnet/bin/train.py:190-196)
+    fpt = get_num_flop_per_token(
+        get_num_params(config, exclude_embedding=True), config, seqlen
+    )
     return step, params, opt_state, db, nparams, fpt
 
 

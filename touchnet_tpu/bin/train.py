@@ -293,13 +293,17 @@ class Trainer:
             )
 
         num_params = self.train_spec.get_num_params_fn(self.model_config)
+        num_params_wo_emb = self.train_spec.get_num_params_fn(
+            self.model_config, exclude_embedding=True
+        )
         seq_len = (
             data_config.dataset_text_seqlen
             if data_config.datapipe_type == "causal_lm"
             else data_config.dataset_audio_seqlen
         )
+        # flops use the embedding-free count (reference train.py:190-196)
         self.num_flop_per_token = self.train_spec.get_num_flop_per_token_fn(
-            num_params, self.model_config, seq_len
+            num_params_wo_emb, self.model_config, seq_len
         )
         self.metrics_processor.num_flop_per_token = self.num_flop_per_token
         logger.info(
