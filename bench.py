@@ -63,7 +63,7 @@ def build(config_kw, batch, seqlen):
             position_ids=b["position_ids"],
             config=config,
             remat_mode="selective",
-            block_q=512,
+            block_q=1024,
             block_kv=1024,
         )
         loss, _ = cross_entropy_loss(

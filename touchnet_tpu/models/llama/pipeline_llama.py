@@ -32,7 +32,7 @@ def pipeline_forward(
     n_microbatches: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
     remat_mode: str = "full",
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn=None,
 ) -> jax.Array:

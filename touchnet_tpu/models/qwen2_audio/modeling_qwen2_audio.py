@@ -106,7 +106,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
 ) -> jax.Array:

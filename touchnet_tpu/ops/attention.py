@@ -507,6 +507,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
             pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
             pltpu.VMEM((G * block_q, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
@@ -596,6 +597,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((G * block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
 
@@ -628,6 +630,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
             pltpu.VMEM((block_kv, D), jnp.float32),
             pltpu.VMEM((block_kv, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
 
@@ -758,7 +761,7 @@ def flash_attention(
     segment_ids: Optional[jax.Array] = None,
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,

@@ -220,7 +220,7 @@ def make_ring_attention(axis_name: str, n: int, causal=True, scale=None,
 
 def ring_attention_sharded(
     mesh: Mesh,
-    block_q: int = 512,
+    block_q: int = 1024,
     block_kv: int = 1024,
     causal: bool = True,
     use_pallas: Optional[bool] = None,
