@@ -149,9 +149,16 @@ class GlobalBatchLoader:
 class DevicePrefetcher:
     """Stages the next global batch on device while the current step runs
     (reference: pin_memory + prefetch in torchdata; here jax.device_put
-    double buffering via a background thread)."""
+    double buffering via a background thread).
 
-    def __init__(self, batch_iter, put_fn, depth: int = 2):
+    Exact-resume: the loader's state advances as the FILL thread pulls, so
+    each staged item carries the loader-state snapshot taken right after its
+    pull; `consumed_state` always reflects the last batch handed to the
+    TRAINING loop — a checkpoint never skips device-staged-but-untrained
+    batches."""
+
+    def __init__(self, loader, put_fn, depth: int = 2):
+        import copy
         import queue
         import threading
 
@@ -159,11 +166,13 @@ class DevicePrefetcher:
         self.queue = queue.Queue(maxsize=max(1, depth))
         self.error = None
         self._done = object()
+        self.consumed_state = copy.deepcopy(loader.state_dict())
 
         def fill():
             try:
-                for batch in batch_iter:
-                    self.queue.put(self.put_fn(batch))
+                for batch in loader:
+                    state = copy.deepcopy(loader.state_dict())
+                    self.queue.put((self.put_fn(batch), state))
             except BaseException as e:  # surfaced on next()
                 self.error = e
             finally:
@@ -181,7 +190,24 @@ class DevicePrefetcher:
             if self.error is not None:
                 raise self.error
             raise StopIteration
-        return item
+        staged, state = item
+        self.consumed_state = state
+        return staged
+
+
+class _PrefetchStateView:
+    """Dataloader facade for the CheckpointManager during training: reads
+    the DevicePrefetcher's consumed-state, writes to the real loader."""
+
+    def __init__(self, prefetcher, loader):
+        self.prefetcher = prefetcher
+        self.loader = loader
+
+    def state_dict(self):
+        return self.prefetcher.consumed_state
+
+    def load_state_dict(self, state):
+        self.loader.load_state_dict(state)
 
 
 class Trainer:
@@ -510,8 +536,13 @@ class Trainer:
                 return device_batch, num_sentence, ntokens
 
             data_iter = DevicePrefetcher(
-                iter(self.dataloader), stage,
+                self.dataloader, stage,
                 depth=self.data_config.dataloader_device_prefetch,
+            )
+            # checkpoints must record the state of the last TRAINED batch,
+            # not the last prefetched one
+            self.checkpointer.dataloader = _PrefetchStateView(
+                data_iter, self.dataloader
             )
             last_metrics = None
             while self.step < total_steps:
