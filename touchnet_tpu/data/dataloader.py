@@ -9,6 +9,11 @@
 # multiplexed round-robin. Exact resume is guaranteed by snapshotting the root
 # datapipe state *after* each produced batch and keying the loader state by
 # the consumed batch, so prefetched-but-unconsumed batches are replayed.
+#
+# Known parity behavior: generator batchers (batch_text etc.) hold one
+# look-ahead sample (the overflow item that triggered a yield); a resume
+# restarts from the root counters, dropping that single sample — identical
+# to the reference's StatefulDataLoader + generator-chain behavior.
 
 import copy
 import queue
