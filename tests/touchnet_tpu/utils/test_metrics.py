@@ -1,0 +1,40 @@
+# Metrics: peak-flops table, log cadence, WSD schedule shape.
+
+import numpy as np
+
+from touchnet_tpu.bin import TrainConfig
+from touchnet_tpu.parallel.dims import ParallelDims
+from touchnet_tpu.utils.metrics import MetricsProcessor, get_peak_flops
+from touchnet_tpu.utils.optimizer import build_lr_schedule
+
+
+def test_peak_flops_table():
+    assert get_peak_flops("TPU v5 lite") == 197e12
+    assert get_peak_flops("TPU v4") == 275e12
+    assert get_peak_flops("TPU v5p something") == 459e12
+    assert get_peak_flops("SomeUnknownChip") == 197e12  # warn + default
+
+
+def test_should_log_cadence():
+    cfg = TrainConfig(training_log_freq=10)
+    pd = ParallelDims(dp_shard=-1, world_size=8)
+    mp = MetricsProcessor(cfg, pd)
+    assert mp.should_log(1)
+    assert not mp.should_log(5)
+    assert mp.should_log(10)
+    mp.close()
+
+
+def test_wsd_schedule_shape():
+    cfg = TrainConfig(
+        optimizer_lr=1.0, lr_scheduler_steps=100,
+        lr_scheduler_warmup_steps=10, lr_scheduler_decay_ratio=0.5,
+        lr_scheduler_decay_type="linear", lr_scheduler_lr_min=0.1,
+    )
+    sched = build_lr_schedule(cfg)
+    lrs = np.array([float(sched(s)) for s in range(101)])
+    assert lrs[0] < 0.2            # warmup start
+    assert abs(lrs[10] - 1.0) < 0.05
+    assert np.allclose(lrs[10:50], 1.0)  # stable region
+    assert lrs[75] < 1.0           # decaying
+    assert abs(lrs[100] - 0.1) < 0.02    # floor
