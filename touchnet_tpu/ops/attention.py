@@ -133,13 +133,14 @@ def _tile_mask_t(q_seg, kv_seg, q_off, kv_off, iq, ikv, block_q, block_kv,
 
 def _fwd_kernel(
     q_off_ref,  # SMEM [2] = [q_off, kv_off]
+    q_uni_ref, kv_uni_ref,  # SMEM per-block uniform segment ids (-1 = mixed)
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,  # inputs
     out_ref, lse_ref,  # outputs
     m_scratch, l_scratch, acc_scratch,  # scratch
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
     group: int,
 ):
-    iq, ikv = pl.program_id(2), pl.program_id(3)
+    bi, iq, ikv = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
     G = group
@@ -150,10 +151,13 @@ def _fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
-    # skip blocks strictly above the causal diagonal
-    run = (not causal) or (
-        kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1
-    )
+    qu = q_uni_ref[bi, iq]
+    ku = kv_uni_ref[bi, ikv]
+    # skip blocks strictly above the causal diagonal, and blocks whose two
+    # sides are uniform DIFFERENT documents (fully masked)
+    run = jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
+    if causal:
+        run = run & (kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -164,11 +168,22 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [G*bq, bkv] f32
 
-        mask = _tile_mask(
-            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
-            block_q, block_kv, G, causal,
-        )
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        # interior fast path: both sides inside ONE document and the tile is
+        # strictly below the causal diagonal -> nothing to mask
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (ikv + 1) * block_kv - 1 <= q_off + iq * block_q
+            )
+
+        def masked(s):
+            mask = _tile_mask(
+                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+                block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        s = jax.lax.cond(interior, lambda s: s, masked, s)
 
         m_prev = m_scratch[:, :1]  # [G*bq, 1]
         l_prev = l_scratch[:, :1]
@@ -328,6 +343,7 @@ def _bwd_dkv_kernel(
 
 def _bwd_fused_kernel(
     q_off_ref,
+    q_uni_ref, kv_uni_ref,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref,
     dq_scratch, dk_scratch, dv_scratch,
@@ -340,7 +356,7 @@ def _bwd_fused_kernel(
     the whole sequence in VMEM scratch ([S, D] per kv head — G x smaller
     than a dQ-resident layout); callers fall back to the split kernels when
     it would not fit."""
-    iq, ikv = pl.program_id(2), pl.program_id(3)
+    bi, iq, ikv = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
     G = group
@@ -356,9 +372,11 @@ def _bwd_fused_kernel(
     def _init_dq():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    run = (not causal) or (
-        kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1
-    )
+    qu = q_uni_ref[bi, iq]
+    ku = kv_uni_ref[bi, ikv]
+    run = jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
+    if causal:
+        run = run & (kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -369,12 +387,23 @@ def _bwd_fused_kernel(
         sc = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [G*bq, bkv]
-        mask = _tile_mask(
-            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
-            block_q, block_kv, G, causal,
-        )
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (ikv + 1) * block_kv - 1 <= q_off + iq * block_q
+            )
         lse = lse_ref[0, 0, 0][:, None]
-        p = jnp.where(mask, jnp.exp(sc - lse), 0.0)  # [G*bq, bkv]
+
+        def masked_p(sc):
+            mask = _tile_mask(
+                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+                block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, jnp.exp(sc - lse), 0.0)
+
+        p = jax.lax.cond(
+            interior, lambda sc: jnp.exp(sc - lse), masked_p, sc
+        )  # [G*bq, bkv]
         p_lp = p.astype(do.dtype)
         kv_slice = pl.ds(ikv * block_kv, block_kv)
         # dV += p^T @ dO (contract the row dim -> [bkv, D], no transpose)
@@ -440,6 +469,18 @@ def _permute_lse(lse, nq, block_q):
     return x.transpose(0, 1, 3, 2, 4).reshape(B, Hkv, 1, nq * G * block_q)
 
 
+def _block_uniform(seg: jax.Array, block: int) -> jax.Array:
+    """Per-block uniform segment id, or -1 when mixed. seg [B, T] -> [B, nb]."""
+    B, T = seg.shape
+    nb = (T + block - 1) // block
+    if nb * block != T:  # partial tail block: mark mixed via -1 padding
+        seg = jnp.pad(seg, ((0, 0), (0, nb * block - T)), constant_values=-1)
+    blocks = seg.reshape(B, nb, block)
+    mn = blocks.min(axis=-1)
+    mx = blocks.max(axis=-1)
+    return jnp.where(mn == mx, mn, -1).astype(jnp.int32)
+
+
 def _grouped_views(q, k, v):
     """[B,T,H,D]/[B,S,Hkv,D] -> qg [B,Hkv,G,T,D], kh/vh [B,Hkv,S,D]."""
     B, T, H, D = q.shape
@@ -481,10 +522,14 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_kv=block_kv, nkv=nkv, group=G,
     )
+    q_uni = _block_uniform(q_seg, block_q)
+    kv_uni = _block_uniform(kv_seg, block_kv)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), kv_seg_index),
@@ -509,7 +554,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
+    )(q_off, q_uni, kv_uni, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
     lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse  # lse [B, Hkv, G, T]
@@ -671,6 +716,8 @@ def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
         def kv_seg_index(b, h, iq, ikv):
             return (b, 0, ikv)
 
+    q_uni = _block_uniform(q_seg, block_q)
+    kv_uni = _block_uniform(kv_seg, block_kv)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, scale=scale, causal=causal,
@@ -678,6 +725,8 @@ def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
         ),
         grid=(B, Hkv, nq, nkv),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
             pl.BlockSpec((1, 1, block_kv), kv_seg_index),
@@ -707,7 +756,8 @@ def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
+    )(q_off, q_uni, kv_uni, q_seg[:, None, :], kv_seg[:, None, :],
+      qg, kh, vh, dog, lse, delta)
 
     dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
     dk = dk.transpose(0, 2, 1, 3)
