@@ -35,6 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+# exp2 trick: fold log2(e) into the softmax scale so the VPU evaluates raw
+# exp2 (one full-tile multiply cheaper per exponential than exp). Kernels run
+# in base-2 space internally; the lse contract at the API stays base-e.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 _MIN_LANE = 128
 
 
@@ -166,7 +171,7 @@ def _fwd_kernel(
         k = k_ref[0, 0]  # [bkv, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [G*bq, bkv] f32
+        ) * (scale * LOG2E)  # [G*bq, bkv] f32, base-2 space
 
         # interior fast path: both sides inside ONE document and the tile is
         # strictly below the causal diagonal -> nothing to mask
@@ -189,8 +194,8 @@ def _fwd_kernel(
         l_prev = l_scratch[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
@@ -215,7 +220,10 @@ def _fwd_kernel(
         out_ref[0, 0] = (acc_scratch[:] / l_safe).reshape(out_ref.shape[2:]).astype(
             out_ref.dtype
         )
-        lse = m_scratch[:, 0] + jnp.log(jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0]))
+        # m is in base-2 space; emit base-e lse (API contract)
+        lse = m_scratch[:, 0] * LN2 + jnp.log(
+            jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0])
+        )
         lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
 
 
@@ -254,13 +262,13 @@ def _bwd_dq_kernel(
         do = do_ref[0, 0].reshape(G * block_q, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         mask = _tile_mask(
             q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
             block_q, block_kv, G, causal,
         )
-        lse = lse_ref[0, 0, 0][:, None]
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
+        p = jnp.where(mask, jnp.exp2(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G*bq, bkv]
@@ -314,13 +322,13 @@ def _bwd_dkv_kernel(
         do = do_ref[0, 0].reshape(G * block_q, D)
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [bkv, G*bq]
+        ) * (scale * LOG2E)  # [bkv, G*bq]
         mask = _tile_mask_t(
             q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
             block_q, block_kv, G, causal,
         )
-        lse = lse_ref[0, 0, 0][None, :]
-        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)  # [bkv, G*bq]
+        lse = lse_ref[0, 0, 0][None, :] * LOG2E  # base-e -> base-2
+        pt = jnp.where(mask, jnp.exp2(st - lse), 0.0)  # [bkv, G*bq]
         # dV and dK accumulate over the whole GQA group in one pass
         dv_scratch[:] += jax.lax.dot_general(
             pt.astype(do.dtype), do,
@@ -386,23 +394,23 @@ def _bwd_fused_kernel(
         do = do_ref[0, 0].reshape(rows, D)
         sc = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # [G*bq, bkv]
+        ) * (scale * LOG2E)  # [G*bq, bkv]
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (ikv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
-        lse = lse_ref[0, 0, 0][:, None]
+        lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
 
         def masked_p(sc):
             mask = _tile_mask(
                 q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
                 block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp(sc - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(sc - lse), 0.0)
 
         p = jax.lax.cond(
-            interior, lambda sc: jnp.exp(sc - lse), masked_p, sc
+            interior, lambda sc: jnp.exp2(sc - lse), masked_p, sc
         )  # [G*bq, bkv]
         p_lp = p.astype(do.dtype)
         kv_slice = pl.ds(ikv * block_kv, block_kv)
