@@ -139,6 +139,7 @@ def _tile_mask_t(q_seg, kv_seg, q_off, kv_off, iq, ikv, block_q, block_kv,
 def _fwd_kernel(
     q_off_ref,  # SMEM [2] = [q_off, kv_off]
     q_uni_ref, kv_uni_ref,  # SMEM per-block uniform segment ids (-1 = mixed)
+    kvmap_ref,  # SMEM [B, nq, nkv] compacted live kv block indices
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,  # inputs
     out_ref, lse_ref,  # outputs
     m_scratch, l_scratch, acc_scratch,  # scratch
@@ -156,13 +157,15 @@ def _fwd_kernel(
         l_scratch[:] = jnp.zeros_like(l_scratch)
         acc_scratch[:] = jnp.zeros_like(acc_scratch)
 
+    # the grid step visits the MAPPED kv block; repeated map entries are
+    # exhausted padding (same block index -> DMA elided) and do not run
+    jkv = kvmap_ref[bi, iq, ikv]
+    prev = kvmap_ref[bi, iq, jnp.maximum(ikv - 1, 0)]
     qu = q_uni_ref[bi, iq]
-    ku = kv_uni_ref[bi, ikv]
-    # skip blocks strictly above the causal diagonal, and blocks whose two
-    # sides are uniform DIFFERENT documents (fully masked)
-    run = jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
-    if causal:
-        run = run & (kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
+    ku = kv_uni_ref[bi, jkv]
+    run = (ikv == 0) | (jkv != prev)
+    # n_live == 0 rows map to block 0; reject it by the uniform-diff check
+    run = run & jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
 
     @pl.when(run)
     def _compute():
@@ -178,12 +181,12 @@ def _fwd_kernel(
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
-                kv_off + (ikv + 1) * block_kv - 1 <= q_off + iq * block_q
+                kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
 
         def masked(s):
             mask = _tile_mask(
-                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, jkv,
                 block_q, block_kv, G, causal,
             )
             return jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -205,14 +208,7 @@ def _fwd_kernel(
         )
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
-    if causal:
-        last = jnp.clip(
-            pl.cdiv(q_off + (iq + 1) * block_q - kv_off, block_kv) - 1, 0, nkv - 1
-        )
-    else:
-        last = nkv - 1
-
-    @pl.when(ikv == last)
+    @pl.when(ikv == nkv - 1)
     def _finalize():
         l = l_scratch[:, :1]
         # all-masked rows (padding) have l == 0; emit zeros, keep lse finite
@@ -234,13 +230,15 @@ def _fwd_kernel(
 
 def _bwd_dq_kernel(
     q_off_ref,
+    q_uni_ref, kv_uni_ref,
+    kvmap_ref,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
     group: int,
 ):
-    iq, ikv = pl.program_id(2), pl.program_id(3)
+    bi, iq, ikv = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
     G = group
@@ -250,9 +248,12 @@ def _bwd_dq_kernel(
     def _init():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
-    run = (not causal) or (
-        kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1
-    )
+    jkv = kvmap_ref[bi, iq, ikv]
+    prev = kvmap_ref[bi, iq, jnp.maximum(ikv - 1, 0)]
+    qu = q_uni_ref[bi, iq]
+    ku = kv_uni_ref[bi, jkv]
+    run = (ikv == 0) | (jkv != prev)
+    run = run & jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
 
     @pl.when(run)
     def _compute():
@@ -263,12 +264,21 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (scale * LOG2E)
-        mask = _tile_mask(
-            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
-            block_q, block_kv, G, causal,
-        )
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
+            )
         lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
-        p = jnp.where(mask, jnp.exp2(s - lse), 0.0)
+
+        def masked_p(s):
+            mask = _tile_mask(
+                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, jkv,
+                block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, jnp.exp2(s - lse), 0.0)
+
+        p = jax.lax.cond(interior, lambda s: jnp.exp2(s - lse), masked_p, s)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G*bq, bkv]
@@ -278,27 +288,22 @@ def _bwd_dq_kernel(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if causal:
-        last = jnp.clip(
-            pl.cdiv(q_off + (iq + 1) * block_q - kv_off, block_kv) - 1, 0, nkv - 1
-        )
-    else:
-        last = nkv - 1
-
-    @pl.when(ikv == last)
+    @pl.when(ikv == nkv - 1)
     def _finalize():
         dq_ref[0, 0] = dq_scratch[:].reshape(dq_ref.shape[2:]).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     q_off_ref,
+    q_uni_ref, kv_uni_ref,
+    qmap_ref,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_scratch, dv_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int, nq: int,
     group: int,
 ):
-    ikv, iq = pl.program_id(2), pl.program_id(3)
+    bi, ikv, iq = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
     kv_off = q_off_ref[1]
     G = group
@@ -309,10 +314,14 @@ def _bwd_dkv_kernel(
         dk_scratch[:] = jnp.zeros_like(dk_scratch)
         dv_scratch[:] = jnp.zeros_like(dv_scratch)
 
-    # block participates unless all q rows precede all kv cols
-    run = (not causal) or (
-        q_off + (iq + 1) * block_q - 1 >= kv_off + ikv * block_kv
-    )
+    jq = qmap_ref[bi, ikv, iq]
+    prev = qmap_ref[bi, ikv, jnp.maximum(iq - 1, 0)]
+    qu = q_uni_ref[bi, jq]
+    ku = kv_uni_ref[bi, ikv]
+    # the grid step visits the MAPPED q block; repeated map entries are
+    # exhausted padding (same block index -> DMA elided) and do not run
+    run = (iq == 0) | (jq != prev)
+    run = run & jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
 
     @pl.when(run)
     def _compute():
@@ -323,12 +332,23 @@ def _bwd_dkv_kernel(
         st = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (scale * LOG2E)  # [bkv, G*bq]
-        mask = _tile_mask_t(
-            q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
-            block_q, block_kv, G, causal,
-        )
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (ikv + 1) * block_kv - 1 <= q_off + jq * block_q
+            )
         lse = lse_ref[0, 0, 0][None, :] * LOG2E  # base-e -> base-2
-        pt = jnp.where(mask, jnp.exp2(st - lse), 0.0)  # [bkv, G*bq]
+
+        def masked_p(st):
+            mask = _tile_mask_t(
+                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, jq, ikv,
+                block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, jnp.exp2(st - lse), 0.0)
+
+        pt = jax.lax.cond(
+            interior, lambda st: jnp.exp2(st - lse), masked_p, st
+        )  # [bkv, G*bq]
         # dV and dK accumulate over the whole GQA group in one pass
         dv_scratch[:] += jax.lax.dot_general(
             pt.astype(do.dtype), do,
@@ -352,6 +372,7 @@ def _bwd_dkv_kernel(
 def _bwd_fused_kernel(
     q_off_ref,
     q_uni_ref, kv_uni_ref,
+    kvmap_ref,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref,
     dq_scratch, dk_scratch, dv_scratch,
@@ -380,11 +401,12 @@ def _bwd_fused_kernel(
     def _init_dq():
         dq_scratch[:] = jnp.zeros_like(dq_scratch)
 
+    jkv = kvmap_ref[bi, iq, ikv]
+    prev = kvmap_ref[bi, iq, jnp.maximum(ikv - 1, 0)]
     qu = q_uni_ref[bi, iq]
-    ku = kv_uni_ref[bi, ikv]
-    run = jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
-    if causal:
-        run = run & (kv_off + ikv * block_kv <= q_off + (iq + 1) * block_q - 1)
+    ku = kv_uni_ref[bi, jkv]
+    run = (ikv == 0) | (jkv != prev)
+    run = run & jnp.logical_not((qu >= 0) & (ku >= 0) & (qu != ku))
 
     @pl.when(run)
     def _compute():
@@ -398,13 +420,13 @@ def _bwd_fused_kernel(
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
-                kv_off + (ikv + 1) * block_kv - 1 <= q_off + iq * block_q
+                kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
         lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
 
         def masked_p(sc):
             mask = _tile_mask(
-                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, ikv,
+                q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, jkv,
                 block_q, block_kv, G, causal,
             )
             return jnp.where(mask, jnp.exp2(sc - lse), 0.0)
@@ -413,7 +435,7 @@ def _bwd_fused_kernel(
             interior, lambda sc: jnp.exp2(sc - lse), masked_p, sc
         )  # [G*bq, bkv]
         p_lp = p.astype(do.dtype)
-        kv_slice = pl.ds(ikv * block_kv, block_kv)
+        kv_slice = pl.ds(jkv * block_kv, block_kv)
         # dV += p^T @ dO (contract the row dim -> [bkv, D], no transpose)
         dv_scratch[kv_slice, :] += jax.lax.dot_general(
             p_lp, do, (((0,), (0,)), ((), ())),
@@ -431,14 +453,7 @@ def _bwd_fused_kernel(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    if causal:
-        last = jnp.clip(
-            pl.cdiv(q_off + (iq + 1) * block_q - kv_off, block_kv) - 1, 0, nkv - 1
-        )
-    else:
-        last = nkv - 1
-
-    @pl.when(ikv == last)
+    @pl.when(ikv == nkv - 1)
     def _finalize_dq():
         dq_ref[0, 0] = dq_scratch[:].reshape(dq_ref.shape[2:]).astype(dq_ref.dtype)
 
@@ -477,6 +492,66 @@ def _permute_lse(lse, nq, block_q):
     return x.transpose(0, 1, 3, 2, 4).reshape(B, Hkv, 1, nq * G * block_q)
 
 
+def _kv_block_map(q_uni, kv_uni, q_off, kv_off, nq, nkv, block_q, block_kv,
+                  causal):
+    """Compacted live-kv-block index map [B, nq, nkv] for q-outer kernels.
+
+    For each q block row, the ascending indices of kv blocks that are not
+    skippable (skippable = uniform DIFFERENT documents on both sides, or
+    strictly above the causal diagonal), padded by repeating the last live
+    index. Index maps consult this table (scalar prefetch), so Pallas's
+    revisiting elision turns every skipped block into a zero-DMA no-op —
+    the splash-attention trick, built from packed-document segment ids."""
+    B = q_uni.shape[0]
+    j = jnp.arange(nkv, dtype=jnp.int32)
+    qd = q_uni[:, :, None]  # [B, nq, 1]
+    kd = kv_uni[:, None, :]  # [B, 1, nkv]
+    live = jnp.logical_not((qd >= 0) & (kd >= 0) & (qd != kd))
+    if causal:
+        i = jnp.arange(nq, dtype=jnp.int32)
+        live = live & (
+            (kv_off + j[None, None, :] * block_kv)
+            <= (q_off + (i[None, :, None] + 1) * block_q - 1)
+        )
+    key = jnp.where(live, j[None, None, :], nkv)
+    skey = jnp.sort(key, axis=-1)
+    n_live = live.sum(axis=-1)  # [B, nq]
+    last = jnp.take_along_axis(
+        skey, jnp.maximum(n_live - 1, 0)[..., None], axis=-1
+    )
+    last = jnp.where(n_live[..., None] == 0, 0, last)
+    return jnp.where(
+        j[None, None, :] < n_live[..., None], skey, last
+    ).astype(jnp.int32)
+
+
+def _q_block_map(q_uni, kv_uni, q_off, kv_off, nq, nkv, block_q, block_kv,
+                 causal):
+    """Compacted live-q-block index map [B, nkv, nq] for the kv-outer
+    (dK/dV) kernel: ascending q block indices whose rows can attend into the
+    kv block, padded by repeating the last live index."""
+    i = jnp.arange(nq, dtype=jnp.int32)
+    qd = q_uni[:, None, :]  # [B, 1, nq]
+    kd = kv_uni[:, :, None]  # [B, nkv, 1]
+    live = jnp.logical_not((qd >= 0) & (kd >= 0) & (qd != kd))
+    if causal:
+        j = jnp.arange(nkv, dtype=jnp.int32)
+        live = live & (
+            (q_off + (i[None, None, :] + 1) * block_q - 1)
+            >= (kv_off + j[None, :, None] * block_kv)
+        )
+    key = jnp.where(live, i[None, None, :], nq)
+    skey = jnp.sort(key, axis=-1)
+    n_live = live.sum(axis=-1)
+    last = jnp.take_along_axis(
+        skey, jnp.maximum(n_live - 1, 0)[..., None], axis=-1
+    )
+    last = jnp.where(n_live[..., None] == 0, 0, last)
+    return jnp.where(
+        i[None, None, :] < n_live[..., None], skey, last
+    ).astype(jnp.int32)
+
+
 def _block_uniform(seg: jax.Array, block: int) -> jax.Array:
     """Per-block uniform segment id, or -1 when mixed. seg [B, T] -> [B, nb]."""
     B, T = seg.shape
@@ -508,23 +583,24 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
     grid = (B, Hkv, nq, nkv)
+    del static_zero_offsets  # superseded by the kv block map below
 
-    if causal and static_zero_offsets:
-        # clamp the kv block index for causally-skipped grid steps: repeated
-        # indices make the pipeline elide the (otherwise wasted) DMA
-        def kv_index(b, h, iq, ikv):
-            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
-            return (b, h, jnp.minimum(ikv, last), 0)
+    # index maps consult the compacted live-block table (scalar prefetch):
+    # skipped blocks repeat the previous index, so their DMA is elided
+    def kv_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, kvmap[b, iq, ikv], 0)
 
-        def kv_seg_index(b, h, iq, ikv):
-            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
-            return (b, 0, jnp.minimum(ikv, last))
-    else:
-        def kv_index(b, h, iq, ikv):
-            return (b, h, ikv, 0)
+    def kv_seg_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, 0, kvmap[b, iq, ikv])
 
-        def kv_seg_index(b, h, iq, ikv):
-            return (b, 0, ikv)
+    def q_index5(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, iq, 0)
+
+    def q_seg_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, 0, iq)
+
+    def lse_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, iq)
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
@@ -532,37 +608,40 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
     )
     q_uni = _block_uniform(q_seg, block_q)
     kv_uni = _block_uniform(kv_seg, block_kv)
+    kvmap = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                          block_q, block_kv, causal)
     out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
-            pl.BlockSpec((1, 1, block_kv), kv_seg_index),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), q_seg_index),
+                pl.BlockSpec((1, 1, block_kv), kv_seg_index),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5),
+                pl.BlockSpec((1, 1, 1, G * block_q), lse_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
+                pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
+                pltpu.VMEM((G * block_q, D), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
             # lse in a block-permuted flat layout: [(iq, g, row)] on the last
             # dim; _unpermute_lse restores [B, Hkv, G, T]
             jax.ShapeDtypeStruct((B, Hkv, 1, nq * G * block_q), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
-            pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
-            pltpu.VMEM((G * block_q, D), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(q_off, q_uni, kv_uni, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
+    )(q_off, q_uni, kv_uni, kvmap,
+      q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
     lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse  # lse [B, Hkv, G, T]
@@ -592,100 +671,108 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
     lse = _permute_lse(lse, nq, block_q)
     delta = _permute_lse(delta, nq, block_q)
 
-    if causal and static_zero_offsets:
-        def kv_index(b, h, iq, ikv):
-            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
-            return (b, h, jnp.minimum(ikv, last), 0)
+    del static_zero_offsets  # superseded by the block maps below
 
-        def kv_seg_index(b, h, iq, ikv):
-            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
-            return (b, 0, jnp.minimum(ikv, last))
+    # q-outer (dQ) index maps: kv side consults the live-block table
+    def kv_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, kvmap[b, iq, ikv], 0)
 
-        def q_index(b, h, ikv, iq):
-            first = (ikv * block_kv) // block_q
-            return (b, h, 0, jnp.maximum(iq, first), 0)
+    def kv_seg_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, 0, kvmap[b, iq, ikv])
 
-        def q_flat_index(b, h, ikv, iq):
-            first = (ikv * block_kv) // block_q
-            return (b, h, 0, jnp.maximum(iq, first))
+    def q_index5_dq(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, iq, 0)
 
-        def q_seg_index(b, h, ikv, iq):
-            first = (ikv * block_kv) // block_q
-            return (b, 0, jnp.maximum(iq, first))
-    else:
-        def kv_index(b, h, iq, ikv):
-            return (b, h, ikv, 0)
+    def q_seg_index_dq(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, 0, iq)
 
-        def kv_seg_index(b, h, iq, ikv):
-            return (b, 0, ikv)
+    def lse_index_dq(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, iq)
 
-        def q_index(b, h, ikv, iq):
-            return (b, h, 0, iq, 0)
+    # kv-outer (dK/dV) index maps: q side consults the live-block table
+    def q_index(b, h, ikv, iq, qo, qu, ku, qmap):
+        return (b, h, 0, qmap[b, ikv, iq], 0)
 
-        def q_flat_index(b, h, ikv, iq):
-            return (b, h, 0, iq)
+    def q_flat_index(b, h, ikv, iq, qo, qu, ku, qmap):
+        return (b, h, 0, qmap[b, ikv, iq])
 
-        def q_seg_index(b, h, ikv, iq):
-            return (b, 0, iq)
+    def q_seg_index(b, h, ikv, iq, qo, qu, ku, qmap):
+        return (b, 0, qmap[b, ikv, iq])
 
+    def kv_index_dkv(b, h, ikv, iq, qo, qu, ku, qmap):
+        return (b, h, ikv, 0)
+
+    def kv_seg_index_dkv(b, h, ikv, iq, qo, qu, ku, qmap):
+        return (b, 0, ikv)
+
+    q_uni = _block_uniform(q_seg, block_q)
+    kv_uni = _block_uniform(kv_seg, block_kv)
+    kvmap = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                          block_q, block_kv, causal)
+    qmap = _q_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                        block_q, block_kv, causal)
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
             block_q=block_q, block_kv=block_kv, nkv=nkv, group=G,
         ),
-        grid=(B, Hkv, nq, nkv),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
-            pl.BlockSpec((1, 1, block_kv), kv_seg_index),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, Hkv, nq, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), q_seg_index_dq),
+                pl.BlockSpec((1, 1, block_kv), kv_seg_index),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5_dq),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5_dq),
+                pl.BlockSpec((1, 1, 1, G * block_q), lse_index_dq),
+                pl.BlockSpec((1, 1, 1, G * block_q), lse_index_dq),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, block_q, D), q_index5_dq),
+            scratch_shapes=[pltpu.VMEM((G * block_q, D), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((G * block_q, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
+    )(q_off, q_uni, kv_uni, kvmap, q_seg[:, None, :], kv_seg[:, None, :],
+      qg, kh, vh, dog, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
             block_q=block_q, block_kv=block_kv, nq=nq, group=G,
         ),
-        grid=(B, Hkv, nkv, nq),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q), q_seg_index),
-            pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, iq: (b, 0, ikv)),
-            pl.BlockSpec((1, 1, G, block_q, D), q_index),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, G, block_q, D), q_index),
-            pl.BlockSpec((1, 1, 1, G * block_q), q_flat_index),
-            pl.BlockSpec((1, 1, 1, G * block_q), q_flat_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), lambda b, h, ikv, iq: (b, h, ikv, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, Hkv, nkv, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), q_seg_index),
+                pl.BlockSpec((1, 1, block_kv), kv_seg_index_dkv),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index_dkv),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index_dkv),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index),
+                pl.BlockSpec((1, 1, 1, G * block_q), q_flat_index),
+                pl.BlockSpec((1, 1, 1, G * block_q), q_flat_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, D), kv_index_dkv),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index_dkv),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
             jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_kv, D), jnp.float32),
-            pltpu.VMEM((block_kv, D), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(q_off, q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse, delta)
+    )(q_off, q_uni, kv_uni, qmap, q_seg[:, None, :], kv_seg[:, None, :],
+      qg, kh, vh, dog, lse, delta)
 
     dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
     dk = dk.transpose(0, 2, 1, 3)
@@ -709,62 +796,69 @@ def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
     lse = _permute_lse(lse, nq, block_q)
     delta = _permute_lse(delta, nq, block_q)
 
-    if causal and static_zero_offsets:
-        def kv_index(b, h, iq, ikv):
-            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
-            return (b, h, jnp.minimum(ikv, last), 0)
+    del static_zero_offsets  # superseded by the kv block map below
 
-        def kv_seg_index(b, h, iq, ikv):
-            last = pl.cdiv((iq + 1) * block_q, block_kv) - 1
-            return (b, 0, jnp.minimum(ikv, last))
-    else:
-        def kv_index(b, h, iq, ikv):
-            return (b, h, ikv, 0)
+    def kv_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, kvmap[b, iq, ikv], 0)
 
-        def kv_seg_index(b, h, iq, ikv):
-            return (b, 0, ikv)
+    def kv_seg_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, 0, kvmap[b, iq, ikv])
+
+    def q_index5(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, iq, 0)
+
+    def q_seg_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, 0, iq)
+
+    def lse_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, iq)
+
+    def dkv_index(b, h, iq, ikv, qo, qu, ku, kvmap):
+        return (b, h, 0, 0)
 
     q_uni = _block_uniform(q_seg, block_q)
     kv_uni = _block_uniform(kv_seg, block_kv)
+    kvmap = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                          block_q, block_kv, causal)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, scale=scale, causal=causal,
             block_q=block_q, block_kv=block_kv, nq=nq, nkv=nkv, group=G,
         ),
-        grid=(B, Hkv, nq, nkv),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, iq, ikv: (b, 0, iq)),
-            pl.BlockSpec((1, 1, block_kv), kv_seg_index),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, block_kv, D), kv_index),
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 1, G * block_q), lambda b, h, iq, ikv: (b, h, 0, iq)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, G, block_q, D), lambda b, h, iq, ikv: (b, h, 0, iq, 0)),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, iq, ikv: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, S, D), lambda b, h, iq, ikv: (b, h, 0, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(B, Hkv, nq, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), q_seg_index),
+                pl.BlockSpec((1, 1, block_kv), kv_seg_index),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5),
+                pl.BlockSpec((1, 1, 1, G * block_q), lse_index),
+                pl.BlockSpec((1, 1, 1, G * block_q), lse_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, G, block_q, D), q_index5),
+                pl.BlockSpec((1, 1, S, D), dkv_index),
+                pl.BlockSpec((1, 1, S, D), dkv_index),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G * block_q, D), jnp.float32),
+                pltpu.VMEM((S, D), jnp.float32),
+                pltpu.VMEM((S, D), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
             jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
             jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((G * block_q, D), jnp.float32),
-            pltpu.VMEM((S, D), jnp.float32),
-            pltpu.VMEM((S, D), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(q_off, q_uni, kv_uni, q_seg[:, None, :], kv_seg[:, None, :],
+    )(q_off, q_uni, kv_uni, kvmap, q_seg[:, None, :], kv_seg[:, None, :],
       qg, kh, vh, dog, lse, delta)
 
     dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
