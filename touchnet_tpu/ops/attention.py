@@ -17,9 +17,18 @@
 #     score tile against one shared KV block — K/V are DMAed once per GROUP
 #     (not per query head) and the MXU sees G x taller matmuls;
 #   - matmul inputs stay bf16 with fp32 accumulation
-#     (preferred_element_type); softmax runs fp32 on the VPU;
-#   - blocks strictly above the causal diagonal are skipped (q_offset /
-#     kv_offset aware, so the skip logic survives context parallelism).
+#     (preferred_element_type); softmax runs fp32 on the VPU in base-2 space
+#     (log2(e) folded into the scale; lse converts to base-e at the kernel
+#     boundary so ring combining / saved residuals see the usual contract);
+#   - splash-style block sparsity from the packed-document structure: per
+#     outer row, a compacted table of live block indices (not above the
+#     causal diagonal, not a uniform-different-document pair) is scalar-
+#     prefetched and consulted by the index maps; exhausted rows repeat the
+#     last live index so skipped blocks cost zero DMA (revisiting elision)
+#     and zero compute. Tiles fully interior to one document below the
+#     diagonal also skip mask construction entirely (lax.cond);
+#   - q_offset / kv_offset make all skip logic position-aware, so it
+#     survives context parallelism (sharded Q over gathered or ring KV).
 #
 # Layout: public API is [B, T, H, D] (q) / [B, S, Hkv, D] (k, v) with
 # segment_ids [B, T]/[B, S] int32 (0 = padding). `q_offset`/`kv_offset` give
