@@ -65,7 +65,9 @@ class TrainConfig:
     training_enable_compiled_autograd: bool = field(default=False)
     training_enable_liger_kernel: bool = field(
         default=False,
-        metadata={"help": "TPU: enable fused Pallas cross-entropy (liger equivalent)"},
+        metadata={"help": "TPU: fused chunked linear+cross-entropy — the "
+                          "[B,T,V] logits never materialize "
+                          "(parallel/loss_parallel.py, liger equivalent)"},
     )
     training_gc_freq: int = field(default=50)
     training_seed: int = field(default=2025)

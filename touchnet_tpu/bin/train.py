@@ -381,7 +381,23 @@ class Trainer:
         self.lr_schedule = build_lr_schedule(job_config)
 
     # ------------------------------------------------------------------
-    def _forward_logits(self, params, batch):
+    @property
+    def _fused_ce(self) -> bool:
+        """Fused linear+CE (parallel/loss_parallel.py): enabled by the liger
+        flag (reference train.py:443-445) and implied by loss parallel under
+        TP (reference loss_parallel ctx, distributed.py:318-329)."""
+        cfg = self.job_config
+        wanted = cfg.training_enable_liger_kernel or (
+            self.parallel_dims.loss_parallel_enabled
+            and self.parallel_dims.tp_enabled
+        )
+        return (
+            wanted
+            and self.train_spec.head_weight_fn is not None
+            and not self.parallel_dims.pp_enabled
+        )
+
+    def _forward_logits(self, params, batch, return_hidden: bool = False):
         cfg = self.job_config
         if self.parallel_dims.pp_enabled:
             import importlib
@@ -415,10 +431,40 @@ class Trainer:
             remat_mode=cfg.training_activation_checkpoint_mode,
             shard_fn=shard_fn,
         )
+        if return_hidden:
+            kwargs["return_hidden"] = True
         for key in self.train_spec.forward_batch_keys:
             if batch.get(key) is not None:
                 kwargs[key] = batch[key]
         return self.train_spec.forward_fn(params, **kwargs)
+
+    def _loss_and_acc(self, params, batch, num_sentence):
+        """(loss_per_sample, loss_per_token, acc) — fused linear+CE when
+        enabled, otherwise full-logits pack loss."""
+        if self._fused_ce:
+            from touchnet_tpu.parallel.loss_parallel import (
+                fused_linear_cross_entropy,
+            )
+
+            hidden = self._forward_logits(params, batch, return_hidden=True)
+            head_w = self.train_spec.head_weight_fn(params, self.model_config)
+            return fused_linear_cross_entropy(
+                hidden,
+                head_w,
+                batch["labels"],
+                batch["sentence_lens"],
+                num_sentence,
+                mesh=self.mesh,
+                compute_dtype=_dtype(
+                    self.job_config.training_mixed_precision_param
+                ),
+            )
+        logits = self._forward_logits(params, batch)
+        loss_ps, loss_pt = self.train_spec.loss_fn(
+            logits, batch["labels"], batch["sentence_lens"], num_sentence
+        )
+        acc = self.train_spec.acc_fn(logits, batch["labels"])
+        return loss_ps, loss_pt, acc
 
     def _build_train_step(self):
         cfg = self.job_config
@@ -426,11 +472,7 @@ class Trainer:
         max_norm = cfg.training_max_norm
 
         def loss_fn(params, batch, num_sentence):
-            logits = self._forward_logits(params, batch)
-            loss_ps, loss_pt = self.train_spec.loss_fn(
-                logits, batch["labels"], batch["sentence_lens"], num_sentence
-            )
-            acc = self.train_spec.acc_fn(logits, batch["labels"])
+            loss_ps, loss_pt, acc = self._loss_and_acc(params, batch, num_sentence)
             return loss_ps, (loss_pt, acc)
 
         import re
@@ -484,11 +526,7 @@ class Trainer:
 
     def _build_eval_step(self):
         def eval_step(params, batch, num_sentence):
-            logits = self._forward_logits(params, batch)
-            loss_ps, loss_pt = self.train_spec.loss_fn(
-                logits, batch["labels"], batch["sentence_lens"], num_sentence
-            )
-            acc = self.train_spec.acc_fn(logits, batch["labels"])
+            loss_ps, loss_pt, acc = self._loss_and_acc(params, batch, num_sentence)
             return {"loss_per_sample": loss_ps, "loss_per_token": loss_pt, "acc": acc}
 
         return jax.jit(eval_step)

@@ -9,9 +9,10 @@
 #     per-sample-mean DP loss (reference tests/touchnet/utils/test_pack_loss.py).
 #   loss_per_token (logging): sum(ce) / num_valid_tokens.
 # Computed in fp32 from (possibly bf16) logits with a stable logsumexp; under
-# jit, XLA fuses the softmax pipeline — no fp32 [B, T, V] round-trip to HBM
-# beyond what the fusion needs (a Pallas fused CE for the loss-parallel path
-# lives alongside, see vocab_parallel_cross_entropy in parallel/loss_parallel.py).
+# jit, XLA fuses the softmax pipeline. When the liger flag or loss parallel
+# is enabled the trainer instead uses fused_linear_cross_entropy
+# (parallel/loss_parallel.py), which chunks the lm_head matmul + CE so the
+# full [B, T, V] logits never materialize (vocab-sharded under TP).
 
 from typing import Tuple
 

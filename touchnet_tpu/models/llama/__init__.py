@@ -33,6 +33,13 @@ def check_finite_params(params) -> None:
             raise ValueError(f"non-finite values in param {_path_str(path)}")
 
 
+def head_weight(params: dict, config: LlamaConfig):
+    """lm_head weight [V, E] for the fused linear+CE path."""
+    if config.tie_word_embeddings:
+        return params["model"]["embed_tokens"]["weight"]
+    return params["lm_head"]["weight"]
+
+
 register_train_spec(
     TrainSpec(
         name="llama",
@@ -46,6 +53,7 @@ register_train_spec(
         get_num_flop_per_token_fn=get_num_flop_per_token,
         get_num_params_fn=get_num_params,
         param_rules=LLAMA_PARAM_RULES,
+        head_weight_fn=head_weight,
         additional_post_init_fn=None,
         pipelining_fn="touchnet_tpu.models.llama.pipeline_llama.pipeline_forward",
     )

@@ -30,6 +30,12 @@ TOUCH_AUDIO_PARAM_RULES = LLAMA_PARAM_RULES + [
     (r"language_model/model/norm/weight", LLAMA_PARAM_RULES[3][1]),
 ]
 
+def head_weight(params: dict, config: TouchAudioConfig):
+    from touchnet_tpu.models.llama import head_weight as llama_head_weight
+
+    return llama_head_weight(params["language_model"], config.text_config)
+
+
 register_train_spec(
     TrainSpec(
         name="touch_audio",
@@ -43,6 +49,7 @@ register_train_spec(
         get_num_flop_per_token_fn=get_num_flop_per_token,
         get_num_params_fn=get_num_params,
         param_rules=TOUCH_AUDIO_PARAM_RULES,
+        head_weight_fn=head_weight,
         forward_batch_keys=("input_ids", "inputs_embeds", "input_features"),
     )
 )

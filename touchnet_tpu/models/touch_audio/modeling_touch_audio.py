@@ -56,6 +56,7 @@ def forward(
     block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
+    return_hidden: bool = False,
 ) -> jax.Array:
     lm = params["language_model"]
     if inputs_embeds is None:
@@ -87,6 +88,7 @@ def forward(
         block_q=block_q,
         block_kv=block_kv,
         shard_fn=shard_fn,
+        return_hidden=return_hidden,
     )
 
 

@@ -41,6 +41,10 @@ class TrainSpec:
     # regexes over param paths whose updates are zeroed (frozen submodules,
     # e.g. kimi_audio's WhisperVQ speech tokenizer)
     frozen_params_re: tuple = ()
+    # (params, model_config) -> lm_head weight [V, E]; set when forward_fn
+    # supports return_hidden=True, enabling the fused linear+CE path
+    # (parallel/loss_parallel.py — liger / loss-parallel analog)
+    head_weight_fn: Optional[Callable] = None
     pipelining_fn: Optional[Callable] = None
     additional_pre_init_fn: Optional[Callable] = None
     additional_post_init_fn: Optional[Callable] = None
