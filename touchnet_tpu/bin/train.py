@@ -577,6 +577,9 @@ class Trainer:
                 self.dataloader, stage,
                 depth=self.data_config.dataloader_device_prefetch,
             )
+            # ntokens counts span all local dp streams; metrics normalizes
+            # to per-stream (= per-chip after /non_dp) tokens
+            self.metrics_processor.ntokens_streams = len(self.dataloader.loaders)
             # checkpoints must record the state of the last TRAINED batch,
             # not the last prefetched one
             self.checkpointer.dataloader = _PrefetchStateView(

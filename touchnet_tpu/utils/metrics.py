@@ -183,6 +183,11 @@ class MetricsProcessor:
         self.color = Color() if _supports_color() else NoColor()
 
         self.ntokens_since_last_log = 0
+        # number of dp loader streams contributing to ntokens counts: the
+        # trainer accumulates the tokens of ALL its local dp streams, while
+        # the reference counts one rank's local tokens (metrics.py:381-539)
+        # — divide by the stream count so tps/MFU stay per-chip under dp>1
+        self.ntokens_streams = 1
         self.data_loading_times = []
         self.time_last_log = time.perf_counter()
         self.num_flop_per_token = 0  # set by trainer
@@ -195,10 +200,14 @@ class MetricsProcessor:
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         time_delta = time.perf_counter() - self.time_last_log
         nd = self.parallel_dims
-        # tokens/sec per data-loading stream (reference divides by
-        # non-dp size so tps is per model replica slice)
-        tps = self.ntokens_since_last_log / time_delta / max(
-            nd.non_data_parallel_size, 1
+        # tokens/sec per chip: per-dp-stream tokens (global count divided by
+        # contributing streams) over the non-dp chips that cooperate on one
+        # stream (reference divides local-rank tokens by non-dp size)
+        tps = (
+            self.ntokens_since_last_log
+            / max(self.ntokens_streams, 1)
+            / time_delta
+            / max(nd.non_data_parallel_size, 1)
         )
         tflops = self.num_flop_per_token * tps / 1e12
         mfu = 100 * self.num_flop_per_token * tps / self.peak_flops
