@@ -20,16 +20,22 @@ CFG = os.path.join(
 )
 
 
-@pytest.mark.parametrize("pp,dp", [(2, 4), (2, 1)])
+@pytest.mark.parametrize(
+    "pp,dp_rep,dp_shard",
+    [(2, 4, 1), (2, 1, 1), (2, 1, 4), (2, 2, 2)],  # incl. pp x FSDP (x HSDP)
+)
 @pytest.mark.parametrize("micro", [None, 2])
-def test_pipeline_forward_matches_golden(pp, dp, micro):
+def test_pipeline_forward_matches_golden(pp, dp_rep, dp_shard, micro):
     config = LlamaConfig.from_json_file(CFG)  # 2 layers -> 1 per stage (pp=2)
     params = init_params(config, jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
     golden = forward(params, input_ids=ids, config=config,
                      compute_dtype=jnp.float32)
 
-    pd = ParallelDims(world_size=pp * dp, dp_replicate=dp, dp_shard=1, pp=pp)
+    pd = ParallelDims(
+        world_size=pp * dp_rep * dp_shard,
+        dp_replicate=dp_rep, dp_shard=dp_shard, pp=pp,
+    )
     mesh = pd.build_mesh()
     shardings = named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
     sharded = jax.device_put(params, shardings)
@@ -47,11 +53,16 @@ def test_pipeline_forward_matches_golden(pp, dp, micro):
                                atol=2e-4, rtol=2e-4)
 
 
-def test_pipeline_grads_match_golden():
+@pytest.mark.parametrize(
+    "world,dp_rep,dp_shard", [(2, 1, 1), (8, 1, 4), (8, 2, 2)]
+)
+def test_pipeline_grads_match_golden(world, dp_rep, dp_shard):
     config = LlamaConfig.from_json_file(CFG)
     params = init_params(config, jax.random.PRNGKey(0))
-    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 32), 0, config.vocab_size)
-    pd = ParallelDims(world_size=2, dp_replicate=1, dp_shard=1, pp=2)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(
+        world_size=world, dp_replicate=dp_rep, dp_shard=dp_shard, pp=2
+    )
     mesh = pd.build_mesh()
     sharded = jax.device_put(
         params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
@@ -77,16 +88,45 @@ def test_pipeline_grads_match_golden():
                                    atol=5e-4, rtol=5e-4)
 
 
+def test_unsupported_schedules_raise():
+    config = LlamaConfig.from_json_file(CFG)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=2, dp_replicate=1, dp_shard=1, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+    with pytest.raises(NotImplementedError, match="schedule"):
+        pipeline_forward(
+            sharded, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, schedule="ZBVZeroBubble",
+        )
+    # equal split points accepted; unequal rejected loudly
+    pipeline_forward(
+        sharded, input_ids=ids, config=config, mesh=mesh,
+        compute_dtype=jnp.float32, split_points="1",
+    )
+    with pytest.raises(NotImplementedError, match="split"):
+        pipeline_forward(
+            sharded, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, split_points="3",
+        )
+
+
 @pytest.mark.slow
-def test_train_e2e_pipeline(tmp_path):
+@pytest.mark.parametrize(
+    "dp_rep,dp_shard", [(4, 1), (1, 4), (2, 2)]
+)
+def test_train_e2e_pipeline(tmp_path, dp_rep, dp_shard):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bin"))
     from test_train import build_corpus, make_args, run_trainer
 
     listfile = build_corpus(tmp_path)
     argv = make_args(
         tmp_path, listfile, steps=3,
-        training_data_parallel_shard_degree=1,
-        training_data_parallel_replicate_degree=4,
+        training_data_parallel_shard_degree=dp_shard,
+        training_data_parallel_replicate_degree=dp_rep,
         training_tensor_parallel_degree=1,
         training_pipeline_parallel_degree=2,
         dataset_batchsize=2,

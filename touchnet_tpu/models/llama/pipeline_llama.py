@@ -4,8 +4,10 @@
 # Capability parity: reference touchnet/models/llama/pipeline_llama.py
 # (llama is the only family with a pipelining_fn, SURVEY.md §2.7). The
 # stacked-layer scan layout makes stage splitting a sharding annotation
-# (P("pp") on the layer axis) instead of per-rank module surgery; the GPipe
-# schedule lives in parallel/pipeline.py.
+# (P("pp", ...) on the layer axis) instead of per-rank module surgery; the
+# skewed SPMD schedule lives in parallel/pipeline.py. FSDP composes: layer
+# params keep their fsdp-axis sharding alongside "pp" and are all-gathered
+# per layer inside the stage body (pp_param_rules + make_layer_gather).
 
 import functools
 from typing import Optional
@@ -17,7 +19,11 @@ from touchnet_tpu.models.common import linear, rms_norm, rope_frequencies
 from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
 from touchnet_tpu.models.llama.modeling_llama import decoder_layer
 from touchnet_tpu.ops.attention import flash_attention, packed_attention_reference
-from touchnet_tpu.parallel.pipeline import pipeline_apply
+from touchnet_tpu.parallel.pipeline import (
+    make_layer_gather,
+    parse_split_points,
+    pipeline_apply,
+)
 
 
 def pipeline_forward(
@@ -35,12 +41,15 @@ def pipeline_forward(
     block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn=None,
+    schedule: str = "1F1B",
+    split_points: Optional[str] = None,
 ) -> jax.Array:
     """Pipelined logits [B, T, V]. Microbatch count defaults to pp degree
     (reference build_pipeline_schedule default)."""
     S = mesh.shape["pp"]
     if n_microbatches is None:
         n_microbatches = S
+    parse_split_points(split_points, config.num_hidden_layers, S)
     mp = params["model"]
     if inputs_embeds is None:
         inputs_embeds = jnp.take(mp["embed_tokens"]["weight"], input_ids, axis=0)
@@ -61,6 +70,15 @@ def pipeline_forward(
                                    block_kv=block_kv, use_pallas=True)
         return packed_attention_reference(q, k, v, seg)
 
+    # specs of the stacked layer params (pp on the layer axis + fsdp on the
+    # weight dims) drive both the shard_map in_specs and the per-layer gather
+    from touchnet_tpu.parallel.sharding import LLAMA_PARAM_RULES, param_shardings
+
+    layer_specs = param_shardings(
+        mp["layers"], mesh, pp_param_rules(LLAMA_PARAM_RULES)
+    )
+    gather = make_layer_gather(layer_specs, mesh)
+
     def stage_fn(layers_local, x, extras):
         layer = functools.partial(
             decoder_layer,
@@ -73,6 +91,7 @@ def pipeline_forward(
         )
 
         def body(carry, lp):
+            lp = gather(lp)  # FSDP all-gather; re-gathered in the backward
             lp = jax.tree.map(lambda p: p.astype(compute_dtype), lp)
             return layer(carry, lp), None
 
@@ -83,6 +102,7 @@ def pipeline_forward(
         mesh, stage_fn, mp["layers"], h,
         {"segment_ids": segment_ids, "position_ids": position_ids},
         n_microbatches, remat=(remat_mode != "none"),
+        layer_specs=layer_specs, schedule=schedule,
     )
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
     head_w = (
@@ -94,12 +114,24 @@ def pipeline_forward(
 
 
 def pp_param_rules(base_rules):
-    """Layer-stack params shard on "pp" along the stacked dim; everything
-    else follows the base rules with pp absent (replicated across stages —
-    the reference keeps embed/head on first/last ranks; SPMD replicates the
-    small non-layer params instead)."""
+    """Stage split as sharding: layer-stack params get "pp" on the stacked
+    dim while KEEPING their fsdp entries on the weight dims (pp x dp_shard
+    composition); non-layer params (embed/head/final norm) follow the base
+    rules — the reference pins them to first/last ranks, SPMD shards them
+    on fsdp and replicates across pp instead."""
     from jax.sharding import PartitionSpec as P
 
-    rules = [(r"model/layers/.*", P("pp"))]
-    rules += list(base_rules)
+    rules = []
+    for pat, spec in base_rules:
+        entries = tuple(spec)
+        # stacked layer rules are written against the [L, ...] layout: the
+        # leading entry is None (the L dim) followed by the weight dims
+        # (sharding.py LLAMA_PARAM_RULES); non-layer params (embed/head:
+        # leading tp; final norm/biases: 1-entry specs) pass through
+        if entries and entries[0] is None and len(entries) >= 2:
+            rules.append((pat, P("pp", *entries[1:])))
+        else:
+            rules.append((pat, spec))
+    # catch-all for layer params the base rules miss (e.g. q/k/v biases)
+    rules.append((r".*layers/.*", P("pp")))
     return rules

@@ -5,23 +5,34 @@
 # 31-337 + utils/distributed.py:496-667 — manual layer-range split,
 # PipelineStage + 1F1B/Interleaved/ZBV schedules over NCCL P2P). TPU-native
 # re-design: there is no per-rank model surgery — the SAME program runs on
-# every device under shard_map; each stage holds layers[stage::] via a
-# P("pp") sharding on the stacked layer axis, activations move stage->stage
-# with lax.ppermute, and the schedule is a GPipe loop of
-# (microbatches + stages - 1) ticks. Backward is jax autodiff through the
-# loop (ppermute transposes to the reverse ring), with jax.checkpoint on the
-# stage body standing in for the reference's per-stage AC. The reference's
-# named schedules (1F1B/Interleaved/ZBV) map to this single SPMD schedule —
-# XLA overlaps the collective-permute with stage compute; zero-bubble
-# scheduling is a future kernel-level optimization.
+# every device under shard_map; each stage holds an equal slice of the
+# stacked layer axis via a P("pp", ...) sharding, activations move
+# stage->stage with lax.ppermute, and the schedule is a skewed loop of
+# (microbatches + stages - 1) ticks emitting per-tick outputs:
+#   - invalid ramp-up/ramp-down ticks are SKIPPED via lax.cond (each TPU
+#     core branches independently between collectives), so idle stages do
+#     no work and their backward is the trivial identity;
+#   - per-tick outputs leave through scan's ys (no O(M^2) carried buffer);
+#     one psum publishes the last stage's [M, b, T, E] to all pp ranks.
 #
-# Composition: pp x (dp_replicate, dp_shard as pure replication/batch
-# sharding). TP/CP inside the pipeline body would need manual collectives
-# (GSPMD does not partition inside shard_map) — asserted out for now; the
-# reference's llama recipes likewise run PP with FSDP-only.
+# FSDP composition (pp x dp_shard): layer params are sharded on BOTH the
+# "pp" (stacked-layer) axis and the fsdp axes of their own dims
+# (pp_param_rules keeps the base FSDP entries). Inside the stage body each
+# layer's weights are all-gathered over the fsdp axes right before use and
+# freed after (jax.checkpoint re-gathers in the backward) — exactly FSDP2's
+# per-block schedule; the all_gather transpose is a psum_scatter, so weight
+# gradients come back fsdp-sharded and summed over the batch axes.
+#
+# Schedules: under SPMD + jax autodiff, "GPipe" and "1F1B" share this loop:
+# the forward order is identical, the backward is the AD reversal (reverse
+# skew), and 1F1B's memory bound is subsumed by per-tick rematerialization
+# (only the [b, T, E] stage inputs are saved per tick). Interleaved1F1B /
+# ZBVZeroBubble / CSV schedules need per-rank work queues that break the
+# lockstep-loop model — they raise NotImplementedError instead of silently
+# degrading.
 
 import functools
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,24 +41,64 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 BATCH = ("dp_replicate", "dp_shard")
 
+SUPPORTED_SCHEDULES = ("1F1B", "GPipe")
+
+
+def make_layer_gather(layer_specs, mesh: Mesh) -> Callable:
+    """Per-layer FSDP gather for use INSIDE the pipeline's shard_map.
+
+    ``layer_specs``: PartitionSpec pytree for the STACKED layer params
+    (leading entry is "pp"). Returns gather(lp) for a single layer's
+    (already dim-0-sliced) param pytree: all-gathers every dim that the
+    spec shards on non-pp axes. The transpose (psum_scatter) returns
+    fsdp-sharded, batch-summed weight grads."""
+
+    def one(spec, x):
+        for j, entry in enumerate(tuple(spec)[1:]):  # skip the stacked dim
+            if entry is None:
+                continue
+            axes = tuple(
+                a for a in (entry if isinstance(entry, tuple) else (entry,))
+                if mesh.shape.get(a, 1) > 1
+            )
+            if axes:
+                x = jax.lax.all_gather(x, axes, axis=j, tiled=True)
+        return x
+
+    def gather(lp):
+        return jax.tree.map(
+            one, layer_specs, lp, is_leaf=lambda s: isinstance(s, P)
+        )
+
+    return gather
+
 
 def pipeline_apply(
     mesh: Mesh,
     stage_fn: Callable,  # (local_layers, h [b,T,E], extras_microbatch) -> h
-    params_layers,  # stacked [L, ...] pytree, sharded P("pp") on dim 0
+    params_layers,  # stacked [L, ...] pytree, sharded per layer_specs
     h: jax.Array,  # [B, T, E] embedded inputs (replicated over pp)
     extras,  # pytree of [B, T, ...] per-position arrays (seg/pos ids)
     n_microbatches: int,
     remat: bool = True,
+    layer_specs=None,  # PartitionSpec pytree for params_layers (P("pp", ...))
+    schedule: str = "1F1B",
 ):
-    """GPipe pipeline: returns h_out [B, T, E] (last stage's results,
+    """Skewed SPMD pipeline: returns h_out [B, T, E] (last stage's results,
     replicated across pp)."""
+    if schedule not in SUPPORTED_SCHEDULES:
+        raise NotImplementedError(
+            f"pipeline schedule {schedule!r}: only {SUPPORTED_SCHEDULES} map "
+            "onto the SPMD lockstep loop (Interleaved/ZBV/CSV need per-rank "
+            "work queues)"
+        )
     S = mesh.shape["pp"]
     M = n_microbatches
     B = h.shape[0]
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
 
-    layer_spec = jax.tree.map(lambda _: P("pp"), params_layers)
+    if layer_specs is None:
+        layer_specs = jax.tree.map(lambda _: P("pp"), params_layers)
     h_spec = P(None, BATCH, None, None)  # [M, b, T, E]
     extras_spec = jax.tree.map(lambda _: P(None, BATCH), extras)
 
@@ -57,7 +108,7 @@ def pipeline_apply(
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(layer_spec, h_spec, extras_spec),
+        in_specs=(layer_specs, h_spec, extras_spec),
         out_specs=h_spec,
         check_vma=False,
     )
@@ -66,9 +117,9 @@ def pipeline_apply(
         s = jax.lax.axis_index("pp")
         M_, b, T, E = h_micro.shape
         fwd_perm = [(p, p + 1) for p in range(S - 1)]
+        is_last = s == S - 1
 
-        def tick(carry, t):
-            recv, outs = carry
+        def tick(recv, t):
             # stage 0 consumes microbatch t; others consume what they received
             mb = jax.lax.dynamic_index_in_dim(
                 h_micro, jnp.clip(t, 0, M_ - 1), axis=0, keepdims=False
@@ -82,32 +133,26 @@ def pipeline_apply(
                 ),
                 extras_micro,
             )
-            y = body(layers_local, x, ex)
-            # last stage records microbatch (t - (S-1)) when valid
-            m_out = t - (S - 1)
-            valid = (s == S - 1) & (m_out >= 0) & (m_out < M_)
-            outs = jax.lax.cond(
-                valid,
-                lambda o: jax.lax.dynamic_update_index_in_dim(
-                    o, y, jnp.clip(m_out, 0, M_ - 1), axis=0
-                ),
-                lambda o: o,
-                outs,
+            # ramp-up/down ticks carry no live microbatch for this stage:
+            # skip the body (each core branches independently; the cond's
+            # backward is likewise trivial on skipped ticks)
+            valid = (t >= s) & (t - s < M_)
+            y = jax.lax.cond(
+                valid, lambda: body(layers_local, x, ex), lambda: x
             )
-            # forward the activation to the next stage
+            # last stage emits microbatch t-s at tick t; zero elsewhere so a
+            # single psum outside the scan publishes the result
+            y_out = jnp.where(valid & is_last, y, jnp.zeros_like(y))
             recv = jax.lax.ppermute(y, "pp", fwd_perm)
-            return (recv, outs), None
+            return recv, y_out
 
-        outs = jnp.zeros_like(h_micro)
-        recv = jnp.zeros((b, T, E), h_micro.dtype)
+        recv0 = jnp.zeros((b, T, E), h_micro.dtype)
         # scan (not fori_loop): the tick loop must be reverse-differentiable
-        (recv, outs), _ = jax.lax.scan(
-            tick, (recv, outs), jnp.arange(M_ + S - 1)
-        )
-        # non-last stages hold zeros; psum broadcasts the last stage's
-        # outputs to every pp rank so norm/head/loss compute identically
-        outs = jax.lax.psum(outs, "pp")
-        return outs
+        _, ys = jax.lax.scan(tick, recv0, jnp.arange(M_ + S - 1))
+        # last stage's outputs live at ticks S-1 .. S-1+M in microbatch
+        # order; other stages contributed zeros
+        outs = jax.lax.slice_in_dim(ys, S - 1, S - 1 + M_, axis=0)
+        return jax.lax.psum(outs, "pp")
 
     h_micro = h.reshape(M, B // M, *h.shape[1:])
     extras_micro = jax.tree.map(
@@ -117,12 +162,46 @@ def pipeline_apply(
     return out.reshape(B, *h.shape[1:])
 
 
-def validate_pp_composition(parallel_dims):
+def parse_split_points(
+    split_points: Optional[str], num_layers: int, pp: int
+) -> None:
+    """Consume training_pipeline_parallel_split_points (reference
+    pipeline_llama.py:31-337 manual split). The stacked-scan design splits
+    the layer axis into EQUAL pp slices; explicit split points are accepted
+    when they describe exactly that split, and rejected loudly otherwise
+    (unequal stages would need padded per-stage layer counts)."""
+    if not split_points:
+        return
+    pts = [int(p) for p in str(split_points).split(",") if str(p).strip()]
+    expected = [num_layers // pp * i for i in range(1, pp)]
+    if num_layers % pp != 0 or pts != expected:
+        raise NotImplementedError(
+            f"pipeline_parallel_split_points={pts}: the TPU pipeline shards "
+            f"the stacked layer axis equally; with {num_layers} layers and "
+            f"pp={pp} the only supported split is {expected}"
+        )
+
+
+def validate_pp_composition(parallel_dims, job_config=None):
     assert not (parallel_dims.pp_enabled and (
         parallel_dims.tp_enabled or parallel_dims.cp_enabled
-        or parallel_dims.dp_shard_enabled
     )), (
-        "pipeline parallel currently composes with dp_replicate only "
-        "(TP/CP/FSDP inside the pipeline body requires manual collectives); "
-        "use pp x dp_replicate, or tp/cp/fsdp without pp"
+        "pipeline parallel composes with dp_replicate and dp_shard (FSDP); "
+        "TP/CP inside the pipeline body requires manual collectives — use "
+        "pp x dp, or tp/cp without pp (the reference's llama recipes also "
+        "run PP with FSDP-only)"
     )
+    if job_config is not None:
+        if job_config.training_pipeline_parallel_schedule_csv:
+            raise NotImplementedError(
+                "pipeline_parallel_schedule_csv: CSV-defined schedules need "
+                "per-rank work queues; use 1F1B or GPipe"
+            )
+        if job_config.training_pipeline_parallel_schedule not in (
+            SUPPORTED_SCHEDULES
+        ):
+            raise NotImplementedError(
+                f"pipeline schedule "
+                f"{job_config.training_pipeline_parallel_schedule!r}: "
+                f"supported: {SUPPORTED_SCHEDULES}"
+            )
