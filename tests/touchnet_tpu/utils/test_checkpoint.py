@@ -113,7 +113,7 @@ def test_weights_only_export(tmp_path):
     import orbax.checkpoint as ocp
 
     restored = ocp.StandardCheckpointer().restore(str(folder))
-    assert restored["leaf_0"].dtype == jnp.bfloat16
+    assert restored["w"].dtype == jnp.bfloat16  # keys are tree paths
 
 
 def test_async_mode(tmp_path):
@@ -125,3 +125,90 @@ def test_async_mode(tmp_path):
     mgr.wait_until_finished()
     assert os.path.exists(tmp_path / "checkpoint" / "step_2")
     mgr.close()
+
+
+def test_leaves_keyed_by_tree_path(tmp_path):
+    """Round-1 weak #7: leaf_{i} order-keying silently mis-assigns when the
+    tree changes. Keys are now tree paths, so a changed tree fails loudly
+    instead of loading garbage."""
+    params, opt = make_state()
+    mgr = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    mgr.save(2, params, opt)
+    mgr.wait_until_finished()
+    mgr.close()
+
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore(
+        str(tmp_path / "checkpoint" / "step_2" / "model")
+    )
+    assert set(raw) == {"w", "b"}
+
+    # renamed param -> loud failure, not silent positional assignment
+    renamed = {"w2": params["w"], "b": params["b"]}
+    mgr2 = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    with pytest.raises(Exception):
+        mgr2.load(renamed, opt)
+    mgr2.close()
+
+
+def test_restore_validates_shapes(tmp_path):
+    params, opt = make_state()
+    mgr = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    mgr.save(2, params, opt)
+    mgr.wait_until_finished()
+    mgr.close()
+
+    bad = {"w": jnp.zeros((4, 4)), "b": params["b"]}
+    tx = optax.adamw(1e-3)
+    mgr2 = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    with pytest.raises(Exception):
+        mgr2.load(bad, tx.init(bad))
+    mgr2.close()
+
+
+def test_exclude_model_from_loading(tmp_path):
+    params, opt = make_state()
+    mgr = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    mgr.save(2, jax.tree.map(lambda x: x + 7.0, params), opt)
+    mgr.wait_until_finished()
+    mgr.close()
+
+    mgr2 = CheckpointManager(
+        FakeLoader(),
+        make_cfg(tmp_path, training_ckpt_exclude_from_loading="model"),
+    )
+    out = mgr2.load(params, opt)
+    assert out["step"] == 2
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]),
+                               np.asarray(params["w"]))  # untouched
+    mgr2.close()
+
+
+def test_async_save_not_corrupted_by_donated_step(tmp_path):
+    """Round-1 weak #8: async save + a train step that DONATES params must
+    not corrupt the checkpoint (pins the assumption that Orbax stages to
+    host before save() returns)."""
+    params, opt = make_state()
+    snapshot = jax.tree.map(np.asarray, params)
+    mgr = CheckpointManager(
+        FakeLoader(), make_cfg(tmp_path, training_ckpt_async_mode="async")
+    )
+    mgr.save(2, params, opt)
+
+    # immediately clobber the donated buffers, as the next train step would
+    @jax.jit
+    def donating_step(p):
+        return jax.tree.map(lambda x: x * 0.0 - 123.0, p)
+
+    donating = jax.jit(donating_step, donate_argnums=0)
+    params = donating(params)
+    jax.block_until_ready(params)
+    mgr.wait_until_finished()
+    mgr.close()
+
+    params2, opt2 = make_state(seed=1)
+    mgr2 = CheckpointManager(FakeLoader(), make_cfg(tmp_path))
+    out = mgr2.load(params2, opt2)
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]), snapshot["w"])
+    mgr2.close()
