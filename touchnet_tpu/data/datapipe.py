@@ -5,12 +5,18 @@
 # (LowLevelTouchDatapipe with 2-level shuffle + 2-level sharding and
 # {epoch, consumed_lists, consumed_samples} checkpoint state;
 # MidLevelTouchDatapipe generator-composition whose state delegates to the
-# root). Torch-free: RNG is numpy PCG64 (deterministic by seed), worker
-# sharding is explicit (worker_id/num_workers set by the dataloader instead of
-# torch.utils.data.get_worker_info()).
+# root). The SEMANTICS are pinned by the resume-exactness tests
+# (tests/touchnet_tpu/data/test_dataloader.py); the structure here is our
+# own: per-datatype decoders live in a registry keyed by the data.list
+# datatypes column, the shard/sample visit plan and the audio segment /
+# random-cut draws are standalone helpers, and the iterator is a thin loop
+# over (shard plan x sample order x decoder). Torch-free: RNG is numpy
+# PCG64 (deterministic by seed); worker sharding is explicit
+# (worker_id/num_workers come from the dataloader, not torch worker_info).
 
 import json
-from typing import Any, Dict, Iterator
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy
 
@@ -25,6 +31,106 @@ def _randperm(n: int, seed: int) -> numpy.ndarray:
 def _randint(low: int, high: int, seed: int) -> int:
     """Uniform integer in [low, high) with a fresh seeded generator."""
     return int(numpy.random.Generator(numpy.random.PCG64(seed)).integers(low, high))
+
+
+# -- per-datatype decoders ---------------------------------------------------
+# A decoder turns (dataset, sample_idx, config, seed) into the item dict the
+# downstream map functions consume. `seed` is the resume-stable draw seed
+# epoch + consumed_lists + consumed_samples (reference datapipe.py:142-169):
+# any in-sample randomness (segment pick, random cut) must derive from it so
+# a resumed run re-draws identically.
+
+_DECODERS: Dict[str, Callable] = {}
+
+
+def register_decoder(datatypes: str):
+    def wrap(fn):
+        _DECODERS[datatypes] = fn
+        return fn
+
+    return wrap
+
+
+def _read_metainfo(dataset: TouchDataset, sample_idx: int) -> Dict[str, Any]:
+    raw = dataset.get(sample_idx, "metainfo")
+    return json.loads(raw.tobytes().decode("utf-8").strip())
+
+
+@register_decoder("metainfo")
+def _decode_metainfo(dataset, sample_idx, config, seed):
+    # text pre-training from raw text metainfo
+    item = _read_metainfo(dataset, sample_idx)
+    item["datatypes"] = "metainfo"
+    return item
+
+
+@register_decoder("texttoken")
+def _decode_texttoken(dataset, sample_idx, config, seed):
+    # text pre-training from pre-tokenized ids
+    ids = dataset.get(sample_idx, "texttoken").tolist()
+    return dict(input_ids=ids, datatypes="texttoken")
+
+
+def pick_segment(
+    metainfo: Dict[str, Any], seed: int
+) -> Optional[Tuple[int, Optional[int], str]]:
+    """Segment-based loading: one uniformly drawn utterance segment from the
+    metainfo's info.segments, as (sample offset, length, transcript)."""
+    segments = (metainfo.get("info") or {}).get("segments")
+    if not segments:
+        return None
+    sr = metainfo["sample_rate"]
+    seg = segments[_randint(0, len(segments), seed)]
+    start = int(float(seg["start"]) * sr)
+    end = int(float(seg["end"]) * sr)
+    return start, end - start, seg["txt"]
+
+
+def random_cut_bounds(
+    total_length: int, sample_rate: int, config: DataConfig, seed: int
+) -> Optional[Tuple[int, int]]:
+    """Random audio crop: (offset, length) in samples, or None when the
+    utterance is shorter than the configured minimum. Draws length then
+    offset, each from a fresh generator on the SAME seed (reference
+    datapipe.py:152-169 — resume-exactness depends on this)."""
+    min_len = config.dataset_random_cut_audio_min_length_in_ms / 1000.0 * sample_rate
+    max_len = config.dataset_random_cut_audio_max_length_in_ms / 1000.0 * sample_rate
+    assert max_len > min_len
+    if total_length <= min_len:
+        return None
+    length = _randint(int(min_len), min(total_length, int(max_len)), seed)
+    offset = _randint(0, max(1, total_length - length), seed)
+    return offset, length
+
+
+@register_decoder("audio+metainfo")
+def _decode_audio_metainfo(dataset, sample_idx, config, seed):
+    # audio pre-training / audio-text alignment, with optional partial reads
+    item = _read_metainfo(dataset, sample_idx)
+    offset, length = 0, None
+    if config.dataset_load_audio_via_segments:
+        picked = pick_segment(item, seed)
+        if picked is not None:
+            offset, length, item["txt"] = picked
+    if config.dataset_random_cut_audio:
+        _, total = dataset.get_idx(sample_idx, "audio")
+        cut = random_cut_bounds(int(total), item["sample_rate"], config, seed)
+        if cut is not None:
+            length, offset = cut[1], cut[0]
+    pcm = dataset.get(sample_idx, "audio", offset=offset, length=length)
+    # int16 PCM -> float32 in [-1, 1], shaped [1, T]
+    item["waveform"] = (pcm.astype(numpy.float32) / 32768.0)[None, :]
+    item["datatypes"] = "audio+metainfo"
+    return item
+
+
+# -- the root datapipe -------------------------------------------------------
+
+
+@dataclass
+class _Shard:
+    dir: str
+    datatypes: str
 
 
 class LowLevelTouchDatapipe:
@@ -51,14 +157,7 @@ class LowLevelTouchDatapipe:
             "dev": config.datalist_dev_path,
             "test": config.datalist_test_path,
         }[split]
-        self.lists = []
-        with open(datalist_path, "r") as f:
-            for line in f:
-                parts = line.strip().split()
-                if not parts:
-                    continue
-                assert len(parts) == 2, f"bad data.list line: {line!r}"
-                self.lists.append(dict(dir=parts[0], datatypes=parts[1]))
+        self.shards = self._read_datalist(datalist_path)
         self.config = config
         self.dp_rank = dp_rank
         self.dp_world_size = dp_world_size
@@ -70,6 +169,19 @@ class LowLevelTouchDatapipe:
         self.consumed_lists = 0
         self.consumed_samples = 0
 
+    @staticmethod
+    def _read_datalist(path: str) -> List[_Shard]:
+        shards = []
+        with open(path, "r") as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                assert len(parts) == 2, f"bad data.list line: {line!r}"
+                shards.append(_Shard(dir=parts[0], datatypes=parts[1]))
+        return shards
+
+    # -- checkpoint state --------------------------------------------------
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         self.epoch = state_dict["epoch"]
         self.consumed_lists = state_dict["consumed_lists"]
@@ -82,111 +194,57 @@ class LowLevelTouchDatapipe:
             "consumed_samples": self.consumed_samples,
         }
 
+    # -- visit plan ---------------------------------------------------------
+    def _epoch_shard_plan(self, epoch: int) -> List[int]:
+        """This worker's shard indices for one epoch: optional shuffle
+        (seeded by epoch), dp-rank stride, then dataloader-worker stride."""
+        cfg = self.config
+        idxs = (
+            _randperm(len(self.shards), epoch).tolist()
+            if cfg.datalist_shuffling
+            else list(range(len(self.shards)))
+        )
+        if cfg.datalist_sharding:
+            assert len(idxs) >= self.dp_world_size, (
+                f"{len(idxs)} shards < dp_world_size {self.dp_world_size}"
+            )
+            idxs = idxs[self.dp_rank :: self.dp_world_size]
+        if cfg.datalist_epoch > 1:
+            assert len(idxs) >= self.num_workers, (
+                f"{len(idxs)} shards < num_workers {self.num_workers}"
+            )
+        return idxs[self.worker_id :: self.num_workers]
+
+    def _sample_order(self, num_samples: int) -> List[int]:
+        if not self.config.dataset_shuffling:
+            return list(range(num_samples))
+        return _randperm(num_samples, self.epoch + self.consumed_lists).tolist()
+
+    # -- iteration ----------------------------------------------------------
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        config = self.config
-        while self.epoch < config.datalist_epoch:
-            list_idxs = list(range(len(self.lists)))
-            # 1st shuffle on shard lists
-            if config.datalist_shuffling:
-                list_idxs = _randperm(len(self.lists), self.epoch).tolist()
-            # 1st sharding on dp ranks
-            if config.datalist_sharding:
-                assert len(list_idxs) >= self.dp_world_size, (
-                    f"{len(list_idxs)} shards < dp_world_size {self.dp_world_size}"
-                )
-                list_idxs = list_idxs[self.dp_rank :: self.dp_world_size]
-            # 2nd sharding on dataloader workers
-            if config.datalist_epoch > 1:
-                assert len(list_idxs) >= self.num_workers, (
-                    f"{len(list_idxs)} shards < num_workers {self.num_workers}"
-                )
-            list_idxs = list_idxs[self.worker_id :: self.num_workers]
-
-            start_list = self.consumed_lists
-            for list_idx in list_idxs[start_list:]:
-                _dataset = TouchDataset(
-                    self.lists[list_idx]["dir"],
-                    config.dataset_mmap,
-                    self.lists[list_idx]["datatypes"],
-                )
-                # 2nd shuffle on samples
-                num_samples = len(_dataset)
-                if config.dataset_shuffling:
-                    sample_idxs = _randperm(
-                        num_samples, self.epoch + self.consumed_lists
-                    ).tolist()
-                else:
-                    sample_idxs = list(range(num_samples))
-
-                start_sample = self.consumed_samples
-                for sample_idx in sample_idxs[start_sample:]:
-                    datatypes = self.lists[list_idx]["datatypes"]
-                    if datatypes == "metainfo":
-                        # text pre-training from raw text metainfo
-                        metainfo = _dataset.get(sample_idx, "metainfo")
-                        metainfo = json.loads(metainfo.tobytes().decode("utf-8").strip())
-                        metainfo["datatypes"] = "metainfo"
-                        item = metainfo
-                    elif datatypes == "texttoken":
-                        # text pre-training from pre-tokenized ids
-                        texttoken = _dataset.get(sample_idx, "texttoken").tolist()
-                        item = dict(input_ids=texttoken, datatypes="texttoken")
-                    elif datatypes == "audio+metainfo":
-                        # audio pre-training / audio-text alignment
-                        metainfo = _dataset.get(sample_idx, "metainfo")
-                        metainfo = json.loads(metainfo.tobytes().decode("utf-8").strip())
-                        offset = 0
-                        length = None
-                        sample_rate = metainfo["sample_rate"]
-                        info = metainfo.get("info", None)
-                        if info is not None and config.dataset_load_audio_via_segments:
-                            segments = info.get("segments", None)
-                            if segments is not None:
-                                seed = self.epoch + self.consumed_lists + self.consumed_samples
-                                segment = segments[_randint(0, len(segments), seed)]
-                                start = int(float(segment["start"]) * sample_rate)
-                                end = int(float(segment["end"]) * sample_rate)
-                                offset = start
-                                length = end - start
-                                metainfo["txt"] = segment["txt"]
-                        if config.dataset_random_cut_audio:
-                            _, total_length = _dataset.get_idx(sample_idx, "audio")
-                            total_length = int(total_length)
-                            min_length = (
-                                config.dataset_random_cut_audio_min_length_in_ms
-                                / 1000.0 * sample_rate
-                            )
-                            max_length = (
-                                config.dataset_random_cut_audio_max_length_in_ms
-                                / 1000.0 * sample_rate
-                            )
-                            assert max_length > min_length
-                            if total_length > min_length:
-                                seed = self.epoch + self.consumed_lists + self.consumed_samples
-                                length = _randint(
-                                    int(min_length), min(total_length, int(max_length)), seed
-                                )
-                                offset = _randint(0, max(1, total_length - length), seed)
-                        audio = _dataset.get(sample_idx, "audio", offset=offset, length=length)
-                        # int16 PCM -> float32 in [-1, 1]
-                        metainfo["waveform"] = (
-                            audio.astype(numpy.float32) / 32768.0
-                        )[None, :]  # [1, T]
-                        metainfo["datatypes"] = "audio+metainfo"
-                        item = metainfo
-                    else:
-                        raise NotImplementedError(f"unsupported datatypes: {datatypes}")
-                    # state is advanced BEFORE the yield so that a state_dict()
-                    # taken by the consumer right after receiving this item
-                    # resumes at the next one (generators suspend at yield).
+        cfg = self.config
+        while self.epoch < cfg.datalist_epoch:
+            plan = self._epoch_shard_plan(self.epoch)
+            for shard_idx in plan[self.consumed_lists:]:
+                shard = self.shards[shard_idx]
+                decode = _DECODERS.get(shard.datatypes)
+                if decode is None:
+                    raise NotImplementedError(
+                        f"unsupported datatypes: {shard.datatypes}"
+                    )
+                dataset = TouchDataset(shard.dir, cfg.dataset_mmap, shard.datatypes)
+                order = self._sample_order(len(dataset))
+                for sample_idx in order[self.consumed_samples:]:
+                    seed = self.epoch + self.consumed_lists + self.consumed_samples
+                    item = decode(dataset, sample_idx, cfg, seed)
+                    # state is advanced BEFORE the yield so that a
+                    # state_dict() taken by the consumer right after receiving
+                    # this item resumes at the next one (generators suspend
+                    # at yield).
                     self.consumed_samples += 1
                     yield item
-
                 self.consumed_samples = 0
                 self.consumed_lists += 1
-
-            # Reset states
-            self.consumed_samples = 0
             self.consumed_lists = 0
             self.epoch += 1
 
@@ -196,7 +254,7 @@ class MidLevelTouchDatapipe:
     Checkpoint state delegates to the source, so a whole chain checkpoints
     through its root LowLevelTouchDatapipe."""
 
-    def __init__(self, source, f, *args, **kw):
+    def __init__(self, source, f: Callable, *args, **kw):
         assert callable(f)
         self.source = source
         self.f = f
@@ -207,7 +265,7 @@ class MidLevelTouchDatapipe:
         assert self.source is not None
         return self.f(iter(self.source), *self.args, **self.kw)
 
-    def apply(self, f):
+    def apply(self, f: Callable) -> "MidLevelTouchDatapipe":
         assert callable(f)
         return MidLevelTouchDatapipe(self, f, *self.args, **self.kw)
 
