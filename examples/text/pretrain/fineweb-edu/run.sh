@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Text pretraining recipe (allenai/c4), kaldi-staged.
+# Text pretraining recipe (HuggingFaceFW/fineweb-edu), kaldi-staged.
 # Parity: reference examples/text/pretrain/allenai_c4/run.sh:1-191 —
 # stage -1 download, stage 0 make_data (+ dev head-20 list), stage 1 seed
 # checkpoint (continued pretraining), stage 2 train (full knob set),
@@ -43,7 +43,7 @@ else
 fi
 
 # exp id encodes the parallel layout + batch geometry (reference convention)
-exp_id="c4.en_1x16384_fullac_cp1_tp1_dp8_pp1_flash_packloss_tieemb_linear2K1M_${model_config}_${exp_suffix}"
+exp_id="fineweb-edu_1x16384_fullac_cp1_tp1_dp8_pp1_flash_packloss_tieemb_linear2K1M_${model_config}_${exp_suffix}"
 cp=$(echo "$exp_id" | grep -oP 'cp\d+' | grep -oP '\d+')
 tp=$(echo "$exp_id" | grep -oP 'tp\d+' | grep -oP '\d+')
 dp=$(echo "$exp_id" | grep -oP 'dp\d+' | grep -oP '\d+')
@@ -53,8 +53,8 @@ max_seq_len=$(echo "$exp_id" | grep -oP '\d+x\d+' | grep -oP '\d+' | tail -n 1)
 echo "$0: ${exp_id}: cp=${cp}, tp=${tp}, dp=${dp}, pp=${pp}, bs=${bs}, max_seq_len=${max_seq_len}"
 
 if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
-  echo "$0: stage -1: download allenai/c4 and convert to jsonl"
-  python download_c4.py --output_dir "${jsonl_dir}"
+  echo "$0: stage -1: download HuggingFaceFW/fineweb-edu and convert to jsonl"
+  python download_fineweb_edu.py --output_dir "${jsonl_dir}"
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
@@ -113,7 +113,7 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     --text_min_length_in_tokens_for_filter 1 \
     --dataloader_num_workers "${num_workers}" \
     --dataloader_prefetch_factor "${prefetch}" \
-    --training_description "allenai c4.en" \
+    --training_description "allenai fineweb-edu" \
     --training_seed "${seed}" \
     --training_model_name "llama" \
     --training_model_config_path "config/${model_config}.json" \

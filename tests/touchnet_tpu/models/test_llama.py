@@ -152,3 +152,35 @@ def test_sharded_forward_matches_golden(tiny, dims):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(golden), atol=2e-4, rtol=2e-4
     )
+
+
+def test_llama3_rope_scaling_matches_hf():
+    """rope_scaling type 'llama3' must reproduce transformers'
+    _compute_llama3_parameters (the Llama-3.2 config family the reference
+    trains, examples/text/pretrain/allenai_c4/config/Llama-3_2-1B.json)."""
+    import numpy as np
+
+    from touchnet_tpu.models.common import rope_frequencies
+
+    scaling = {
+        "factor": 32.0,
+        "high_freq_factor": 4.0,
+        "low_freq_factor": 1.0,
+        "original_max_position_embeddings": 8192,
+        "rope_type": "llama3",
+    }
+    ours = np.asarray(
+        rope_frequencies(64, 500000.0, rope_scaling=scaling)
+    )
+
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    hf_cfg = HFLlamaConfig(
+        head_dim=64, rope_theta=500000.0, rope_scaling=dict(scaling),
+        hidden_size=2048, num_attention_heads=32,
+        max_position_embeddings=131072,
+    )
+    hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](hf_cfg, torch.device("cpu"))
+    np.testing.assert_allclose(ours, hf_inv.numpy(), rtol=1e-6)

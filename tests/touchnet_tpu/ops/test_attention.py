@@ -153,3 +153,35 @@ def test_backward_split_kernels_cp_slice():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
         )
+
+
+def test_backward_split_kernels_forced_self_attention(monkeypatch):
+    """Force the split dq/dkv backward on a T == S self-attention case (the
+    long-sequence route where whole-seq dK/dV VMEM scratch would not fit)."""
+    import touchnet_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "FUSED_BWD_VMEM_LIMIT", 0)
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(7), T=256, H=4, Hkv=2,
+                               packed=True)
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v)
+            return jnp.sum(jnp.where((seg != 0)[..., None, None], o, 0.0) ** 2)
+        return f
+
+    g_ref = jax.grad(
+        loss(lambda q, k, v: packed_attention_reference(q, k, v, seg)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_pl = jax.grad(
+        loss(lambda q, k, v: flash_attention(
+            q, k, v, seg, block_q=128, block_kv=128,
+            use_pallas=True, interpret=True,
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b, name in zip(g_pl, g_ref, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4, err_msg=name
+        )

@@ -1,0 +1,54 @@
+# Worker for the 2-process jax.distributed CPU smoke test (run by
+# test_multihost.py; analog of the reference's torchrun-based
+# tests/touchnet/utils/test_distributed_cpu.py). Each process owns 2 virtual
+# CPU devices; together they form a dp=4 mesh. Validates
+# GlobalBatchLoader.local_dp_ranks and make_array_from_process_local_data.
+
+import sys
+
+
+def main():
+    coordinator, process_id = sys.argv[1], int(sys.argv[2])
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=2, process_id=process_id
+    )
+    assert jax.process_count() == 2
+    assert jax.device_count() == 4
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from touchnet_tpu.bin.train import GlobalBatchLoader
+    from touchnet_tpu.parallel.dims import ParallelDims
+
+    pd = ParallelDims(dp_shard=4, world_size=4)
+    mesh = pd.build_mesh()
+    local = GlobalBatchLoader.local_dp_ranks(pd, mesh)
+    assert local is not None and len(local) == 2, local
+
+    # per-dp-rank rows: rank r's row is all-r; this process holds its two
+    # local ranks' rows, make_array assembles the global [4, 8] array
+    local_rows = np.stack(
+        [np.full((8,), r, np.float32) for r in local]
+    )
+    sharding = NamedSharding(mesh, P(("dp_replicate", "dp_shard")))
+    garr = jax.make_array_from_process_local_data(sharding, local_rows)
+    assert garr.shape == (4, 8), garr.shape
+    total = float(jax.jit(lambda x: x.sum())(garr))
+    assert total == float(sum(r * 8 for r in range(4))), total
+
+    # disjoint rank ownership across processes
+    from jax.experimental import multihost_utils
+
+    all_ranks = multihost_utils.process_allgather(
+        np.asarray(local, np.int32)
+    ).reshape(-1)
+    assert sorted(all_ranks.tolist()) == [0, 1, 2, 3], all_ranks
+
+    print(f"MULTIHOST_OK process={process_id} local_dp_ranks={local}")
+
+
+if __name__ == "__main__":
+    main()

@@ -85,19 +85,47 @@ def align(ref: List[str], hyp: List[str]) -> Tuple[int, int, int, int, list]:
     return hits, subs, dels, ins, ops
 
 
-def score_pairs(pairs, detail_out=None):
-    total = {"hits": 0, "subs": 0, "dels": 0, "ins": 0, "ref_len": 0}
+def tokenize(text: str, tokenizer: str = "mixed") -> List[str]:
+    """Tokenization modes (reference error_rate_zh --tokenizer):
+    'whitespace' for word-level WER, 'char' for CER (every non-space char a
+    token), 'mixed' (default) CJK chars as units + Latin words as units."""
+    if tokenizer == "whitespace":
+        return text.split()
+    if tokenizer == "char":
+        return [c for c in text if not c.isspace()]
+    return tokenize_mixed(text)
+
+
+def score_pairs(pairs, detail_out=None, tokenizer: str = "mixed",
+                case_sensitive: bool = True):
+    """Corpus scoring. Per-utt details (when requested) are emitted sorted
+    by descending utterance error rate (worst first — the reference's
+    sorted report), followed by an overall-statistics summary block."""
+    total = {"hits": 0, "subs": 0, "dels": 0, "ins": 0, "ref_len": 0,
+             "utts": 0, "err_utts": 0}
+    per_utt = []
     for key, ref_text, hyp_text in pairs:
-        ref = tokenize_mixed(ref_text)
-        hyp = tokenize_mixed(hyp_text)
+        if not case_sensitive:
+            ref_text, hyp_text = ref_text.upper(), hyp_text.upper()
+        ref = tokenize(ref_text, tokenizer)
+        hyp = tokenize(hyp_text, tokenizer)
         hits, subs, dels, ins, ops = align(ref, hyp)
         total["hits"] += hits
         total["subs"] += subs
         total["dels"] += dels
         total["ins"] += ins
         total["ref_len"] += len(ref)
+        total["utts"] += 1
+        nerr = subs + dels + ins
+        if nerr:
+            total["err_utts"] += 1
         if detail_out is not None:
-            er = (subs + dels + ins) / max(len(ref), 1) * 100
+            er = nerr / max(len(ref), 1) * 100
+            per_utt.append((er, key, ref, hyp, subs, dels, ins))
+    if detail_out is not None:
+        for er, key, ref, hyp, subs, dels, ins in sorted(
+            per_utt, key=lambda x: (-x[0], x[1])
+        ):
             detail_out.write(f"utt: {key}\n")
             detail_out.write(f"ref: {' '.join(ref)}\n")
             detail_out.write(f"hyp: {' '.join(hyp)}\n")
@@ -107,6 +135,27 @@ def score_pairs(pairs, detail_out=None):
     n = max(total["ref_len"], 1)
     wer = 100.0 * (total["subs"] + total["dels"] + total["ins"]) / n
     return wer, total
+
+
+def summary_block(wer: float, total: dict, num_hyp_without_ref: int = 0) -> str:
+    """Overall-statistics block (reference to_summary format)."""
+    ser = 100.0 * total["err_utts"] / max(total["utts"], 1)
+    edits = total["subs"] + total["dels"] + total["ins"]
+    return (
+        "==================== Overall Statistics ====================\n"
+        f"num_eval_utts: {total['utts']}\n"
+        f"num_hyp_without_ref: {num_hyp_without_ref}\n"
+        f"sentence_error_rate: {ser:.2f}%\n"
+        f"token_error_rate: {wer:.2f}%\n"
+        "token_stats:\n"
+        f"  - tokens:{total['ref_len']:>7}\n"
+        f"  - edits: {edits:>7}\n"
+        f"  - cor:   {total['hits']:>7}\n"
+        f"  - sub:   {total['subs']:>7}\n"
+        f"  - ins:   {total['ins']:>7}\n"
+        f"  - del:   {total['dels']:>7}\n"
+        "============================================================"
+    )
 
 
 def main(argv=None):
@@ -119,6 +168,12 @@ def main(argv=None):
     parser.add_argument("--ref", help="reference trn file")
     parser.add_argument("--hyp", help="hypothesis trn file")
     parser.add_argument("--detail", help="alignment detail output path")
+    parser.add_argument("--tokenizer", choices=["whitespace", "char", "mixed"],
+                        default="mixed",
+                        help="whitespace for WER, char for CER, mixed for "
+                             "CJK-chars + latin-words")
+    parser.add_argument("--case_insensitive", action="store_true",
+                        help="fold case before scoring")
     args = parser.parse_args(argv)
 
     pairs = []
@@ -145,14 +200,23 @@ def main(argv=None):
         for key in refs:
             pairs.append((key, refs[key], hyps.get(key, "")))
 
+    num_hyp_without_ref = 0
+    if args.ref and args.hyp and not args.jsonl:
+        num_hyp_without_ref = len(set(hyps) - set(refs))
     detail = open(args.detail, "w", encoding="utf8") if args.detail else None
-    wer, total = score_pairs(pairs, detail)
+    wer, total = score_pairs(
+        pairs, detail, tokenizer=args.tokenizer,
+        case_sensitive=not args.case_insensitive,
+    )
+    summary = summary_block(wer, total, num_hyp_without_ref)
     if detail:
+        detail.write(summary + "\n")
         detail.close()
     print(
         f"Overall -> {wer:.2f}% N={total['ref_len']} "
         f"C={total['hits']} S={total['subs']} D={total['dels']} I={total['ins']}"
     )
+    print(summary)
     return wer
 
 

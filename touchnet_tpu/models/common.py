@@ -29,14 +29,42 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
 
 
 def rope_frequencies(
-    head_dim: int, rope_theta: float = 10000.0, dtype=jnp.float32
+    head_dim: int, rope_theta: float = 10000.0, dtype=jnp.float32,
+    rope_scaling=None,
 ) -> jax.Array:
     """inv_freq [head_dim // 2] (recomputed at init, never checkpointed —
-    reference post_init recomputes inv_freq after meta-init, SURVEY.md §2.7)."""
-    return 1.0 / (
+    reference post_init recomputes inv_freq after meta-init, SURVEY.md §2.7).
+
+    ``rope_scaling``: HF rope_scaling dict; 'llama3' frequency scaling is
+    supported (the Llama-3.x config family the reference trains,
+    transformers modeling_rope_utils._compute_llama3_parameters semantics):
+    low-frequency components are slowed by `factor`, high-frequency kept,
+    the band between smoothly interpolated."""
+    inv_freq = 1.0 / (
         rope_theta
         ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
-    ).astype(dtype)
+    )
+    rtype = (rope_scaling or {}).get(
+        "rope_type", (rope_scaling or {}).get("type")
+    )
+    if rtype == "llama3":
+        import math
+
+        factor = rope_scaling["factor"]
+        low = rope_scaling["low_freq_factor"]
+        high = rope_scaling["high_freq_factor"]
+        orig = rope_scaling["original_max_position_embeddings"]
+        low_wavelen = orig / low
+        high_wavelen = orig / high
+        wavelen = 2 * math.pi / inv_freq
+        scaled = jnp.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (orig / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+        medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        inv_freq = jnp.where(medium, smoothed, scaled)
+    elif rtype not in (None, "default"):
+        raise NotImplementedError(f"rope_scaling type {rtype!r}")
+    return inv_freq.astype(dtype)
 
 
 def apply_rope(

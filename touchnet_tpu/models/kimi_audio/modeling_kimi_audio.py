@@ -353,7 +353,8 @@ def forward(
     from touchnet_tpu.models.llama.modeling_llama import _default_attn, decoder_layer
     import functools
 
-    inv_freq = rope_frequencies(tc.head_dim, tc.rope_theta)
+    inv_freq = rope_frequencies(tc.head_dim, tc.rope_theta,
+                                rope_scaling=getattr(tc, 'rope_scaling', None))
     attn = attn_fn if attn_fn is not None else _default_attn(tc, block_q, block_kv)
     layer = functools.partial(
         decoder_layer,

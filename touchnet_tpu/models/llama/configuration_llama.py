@@ -23,6 +23,7 @@ class LlamaConfig:
     max_position_embeddings: int = 2048
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None  # HF llama3 frequency scaling
     tie_word_embeddings: bool = False
     attention_bias: bool = False
     mlp_bias: bool = False

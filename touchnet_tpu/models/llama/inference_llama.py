@@ -66,7 +66,8 @@ def forward_step(
     mp = params["model"]
     B, Tq, _ = inputs_embeds.shape
     h = inputs_embeds.astype(compute_dtype)
-    inv_freq = rope_frequencies(config.head_dim, config.rope_theta)
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta,
+                                rope_scaling=config.rope_scaling)
     position_ids = start_pos[:, None] + jnp.arange(Tq)[None, :]
     valid_len = start_pos + Tq
     scale = 1.0 / (config.head_dim ** 0.5)

@@ -270,7 +270,8 @@ def forward(
     B, T, _ = h.shape
     if position_ids is None:
         position_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
-    inv_freq = rope_frequencies(config.head_dim, config.rope_theta)
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta,
+                                rope_scaling=config.rope_scaling)
 
     attn = attn_fn if attn_fn is not None else _default_attn(config, block_q, block_kv)
 

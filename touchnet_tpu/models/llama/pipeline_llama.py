@@ -59,7 +59,8 @@ def pipeline_forward(
         position_ids = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
     if segment_ids is None:
         segment_ids = jnp.ones((B, T), jnp.int32)
-    inv_freq = rope_frequencies(config.head_dim, config.rope_theta)
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta,
+                                rope_scaling=config.rope_scaling)
 
     use_pallas = jax.default_backend() == "tpu"
 

@@ -51,6 +51,13 @@ LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 _MIN_LANE = 128
 
+# dynamic-trip-count kernels are the default; the static-grid kernels remain
+# for A/B timing (set False to compare) and as a fallback
+USE_DYNAMIC_KERNELS = True
+# the one-pass fused backward keeps whole-sequence dK/dV in VMEM scratch;
+# above this byte budget the split (dq + dkv) kernels run instead
+FUSED_BWD_VMEM_LIMIT = 6 * 2**20
+
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
@@ -230,6 +237,177 @@ def _fwd_kernel(
             jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0])
         )
         lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-trip-count forward kernel: the kv loop runs EXACTLY n_live
+# iterations per q row (fori_loop with a scalar-prefetched bound), with
+# manually double-buffered K/V block DMAs from HBM. This removes the no-op
+# grid steps of the static grid entirely (at packed-32k with 8 docs ~92% of
+# (iq, ikv) grid steps were skips — each still paying Mosaic's per-step
+# latency, the round-1 "dead grid tail").
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_dyn(
+    q_off_ref,  # SMEM [2] = [q_off, kv_off]
+    q_uni_ref, kv_uni_ref,  # SMEM per-block uniform segment ids (-1 = mixed)
+    kvmap_ref,  # SMEM [B, nq, nkv] compacted live kv block indices
+    nlive_ref,  # SMEM [B, nq] number of live kv blocks per q row
+    q_seg_ref, kv_seg_ref, q_ref, k_any, v_any,  # kv stay in HBM (pl.ANY)
+    out_ref, lse_ref,
+    k_buf, v_buf, m_scratch, l_scratch, acc_scratch, sem,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, group: int,
+):
+    bi, hi, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
+    G = group
+    n = nlive_ref[bi, iq]
+    qu = q_uni_ref[bi, iq]
+
+    m_scratch[:] = jnp.full_like(m_scratch, -jnp.inf)
+    l_scratch[:] = jnp.zeros_like(l_scratch)
+    acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    def kv_dmas(slot, t):
+        jkv = kvmap_ref[bi, iq, t]
+        return (
+            pltpu.make_async_copy(
+                k_any.at[bi, hi, pl.ds(jkv * block_kv, block_kv), :],
+                k_buf.at[slot], sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_any.at[bi, hi, pl.ds(jkv * block_kv, block_kv), :],
+                v_buf.at[slot], sem.at[slot, 1],
+            ),
+        )
+
+    @pl.when(n > 0)
+    def _warmup():
+        for dma in kv_dmas(0, 0):
+            dma.start()
+
+    q = q_ref[0, 0].reshape(G * block_q, q_ref.shape[-1])
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < n)
+        def _prefetch():
+            for dma in kv_dmas((t + 1) % 2, t + 1):
+                dma.start()
+
+        for dma in kv_dmas(slot, t):
+            dma.wait()
+        jkv = kvmap_ref[bi, iq, t]
+        ku = kv_uni_ref[bi, jkv]
+        k = k_buf[slot]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)  # [G*bq, bkv] f32, base-2 space
+
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
+            )
+
+        def masked(s):
+            mask = _tile_mask(
+                q_seg_ref[0, 0],
+                kv_seg_ref[0, 0, pl.ds(jkv * block_kv, block_kv)],
+                q_off, kv_off, iq, jkv, block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        s = jax.lax.cond(interior, lambda s: s, masked, s)
+
+        m_prev = m_scratch[:, :1]
+        l_prev = l_scratch[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_buf.dtype), v_buf[slot],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc_scratch[:] = acc_scratch[:] * alpha + pv
+        return _
+
+    jax.lax.fori_loop(0, n, body, None)
+
+    l = l_scratch[:, :1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out_ref[0, 0] = (acc_scratch[:] / l_safe).reshape(out_ref.shape[2:]).astype(
+        out_ref.dtype
+    )
+    lse = m_scratch[:, 0] * LN2 + jnp.log(
+        jnp.where(l[:, 0] == 0.0, 1.0, l[:, 0])
+    )
+    lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
+
+
+def _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
+                    block_kv, interpret):
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    qg, kh, vh, G = _grouped_views(q, k, v)
+    nq = pl.cdiv(T, block_q)
+    nkv = pl.cdiv(S, block_kv)
+
+    q_uni = _block_uniform(q_seg, block_q)
+    kv_uni = _block_uniform(kv_seg, block_kv)
+    kvmap, nlive = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                                 block_q, block_kv, causal)
+
+    kernel = functools.partial(
+        _fwd_kernel_dyn, scale=scale, causal=causal,
+        block_q=block_q, block_kv=block_kv, group=G,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(B, Hkv, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), lambda b, h, iq, *_: (b, 0, iq)),
+                pl.BlockSpec((1, 1, S), lambda b, h, iq, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, G, block_q, D),
+                             lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, G, block_q, D),
+                             lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                pl.BlockSpec((1, 1, 1, G * block_q),
+                             lambda b, h, iq, *_: (b, h, 0, iq)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, block_kv, D), k.dtype),
+                pltpu.VMEM((2, block_kv, D), v.dtype),
+                pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
+                pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
+                pltpu.VMEM((G * block_q, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, 1, nq * G * block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(q_off, q_uni, kv_uni, kvmap, nlive,
+      q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
+    return out, lse
 
 
 # ---------------------------------------------------------------------------
@@ -473,6 +651,476 @@ def _bwd_fused_kernel(
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-trip-count backward kernels (see _fwd_kernel_dyn): per outer row
+# the inner loop runs exactly n_live iterations with double-buffered DMAs.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_fused_kernel_dyn(
+    q_off_ref, q_uni_ref, kv_uni_ref, kvmap_ref, nlive_ref,
+    q_seg_ref, kv_seg_ref, q_ref, k_any, v_any, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    k_buf, v_buf, dq_scratch, dk_scratch, dv_scratch, sem,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, nq: int,
+    group: int,
+):
+    """One-pass backward, q rows outer (grid), live kv blocks inner (dynamic
+    fori_loop). dK/dV accumulate across the whole sequence in VMEM scratch."""
+    bi, hi, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
+    G = group
+    D = q_ref.shape[-1]
+    rows = G * block_q
+    n = nlive_ref[bi, iq]
+    qu = q_uni_ref[bi, iq]
+
+    @pl.when(iq == 0)
+    def _init_dkv():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    def kv_dmas(slot, t):
+        jkv = kvmap_ref[bi, iq, t]
+        return (
+            pltpu.make_async_copy(
+                k_any.at[bi, hi, pl.ds(jkv * block_kv, block_kv), :],
+                k_buf.at[slot], sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_any.at[bi, hi, pl.ds(jkv * block_kv, block_kv), :],
+                v_buf.at[slot], sem.at[slot, 1],
+            ),
+        )
+
+    @pl.when(n > 0)
+    def _warmup():
+        for dma in kv_dmas(0, 0):
+            dma.start()
+
+    q = q_ref[0, 0].reshape(rows, D)
+    do = do_ref[0, 0].reshape(rows, D)
+    lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
+    delta = delta_ref[0, 0, 0][:, None]
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < n)
+        def _prefetch():
+            for dma in kv_dmas((t + 1) % 2, t + 1):
+                dma.start()
+
+        for dma in kv_dmas(slot, t):
+            dma.wait()
+        jkv = kvmap_ref[bi, iq, t]
+        ku = kv_uni_ref[bi, jkv]
+        k = k_buf[slot]
+        v = v_buf[slot]
+        sc = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
+            )
+
+        def masked_p(sc):
+            mask = _tile_mask(
+                q_seg_ref[0, 0],
+                kv_seg_ref[0, 0, pl.ds(jkv * block_kv, block_kv)],
+                q_off, kv_off, iq, jkv, block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, jnp.exp2(sc - lse), 0.0)
+
+        p = jax.lax.cond(interior, lambda sc: jnp.exp2(sc - lse), masked_p, sc)
+        p_lp = p.astype(do.dtype)
+        kv_slice = pl.ds(jkv * block_kv, block_kv)
+        dv_scratch[kv_slice, :] += jax.lax.dot_general(
+            p_lp, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dk_scratch[kv_slice, :] += scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_scratch[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return _
+
+    jax.lax.fori_loop(0, n, body, None)
+
+    dq_ref[0, 0] = dq_scratch[:].reshape(dq_ref.shape[2:]).astype(dq_ref.dtype)
+
+    @pl.when(iq == nq - 1)
+    def _finalize_dkv():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel_dyn(
+    q_off_ref, q_uni_ref, kv_uni_ref, kvmap_ref, nlive_ref,
+    q_seg_ref, kv_seg_ref, q_ref, k_any, v_any, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    k_buf, v_buf, dq_scratch, sem,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, group: int,
+):
+    """dQ-only backward for long sequences (dK/dV scratch would not fit):
+    q rows outer, live kv blocks inner (dynamic)."""
+    bi, hi, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
+    G = group
+    D = q_ref.shape[-1]
+    rows = G * block_q
+    n = nlive_ref[bi, iq]
+    qu = q_uni_ref[bi, iq]
+
+    dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    def kv_dmas(slot, t):
+        jkv = kvmap_ref[bi, iq, t]
+        return (
+            pltpu.make_async_copy(
+                k_any.at[bi, hi, pl.ds(jkv * block_kv, block_kv), :],
+                k_buf.at[slot], sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_any.at[bi, hi, pl.ds(jkv * block_kv, block_kv), :],
+                v_buf.at[slot], sem.at[slot, 1],
+            ),
+        )
+
+    @pl.when(n > 0)
+    def _warmup():
+        for dma in kv_dmas(0, 0):
+            dma.start()
+
+    q = q_ref[0, 0].reshape(rows, D)
+    do = do_ref[0, 0].reshape(rows, D)
+    lse = lse_ref[0, 0, 0][:, None] * LOG2E
+    delta = delta_ref[0, 0, 0][:, None]
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < n)
+        def _prefetch():
+            for dma in kv_dmas((t + 1) % 2, t + 1):
+                dma.start()
+
+        for dma in kv_dmas(slot, t):
+            dma.wait()
+        jkv = kvmap_ref[bi, iq, t]
+        ku = kv_uni_ref[bi, jkv]
+        k = k_buf[slot]
+        v = v_buf[slot]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
+            )
+
+        def masked_p(s):
+            mask = _tile_mask(
+                q_seg_ref[0, 0],
+                kv_seg_ref[0, 0, pl.ds(jkv * block_kv, block_kv)],
+                q_off, kv_off, iq, jkv, block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, jnp.exp2(s - lse), 0.0)
+
+        p = jax.lax.cond(interior, lambda s: jnp.exp2(s - lse), masked_p, s)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta)).astype(k.dtype)
+        dq_scratch[:] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return _
+
+    jax.lax.fori_loop(0, n, body, None)
+    dq_ref[0, 0] = dq_scratch[:].reshape(dq_ref.shape[2:]).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_dyn(
+    q_off_ref, q_uni_ref, kv_uni_ref, qmap_ref, nlive_ref,
+    q_seg_ref, kv_seg_ref, q_any, k_ref, v_ref, do_any, lse_any, delta_any,
+    dk_ref, dv_ref,
+    q_buf, do_buf, lse_buf, delta_buf, dk_scratch, dv_scratch, sem,
+    *, scale: float, causal: bool, block_q: int, block_kv: int, group: int,
+):
+    """dK/dV backward for long sequences: kv blocks outer (grid), live q
+    blocks inner (dynamic loop DMAing q/do/lse/delta blocks)."""
+    bi, hi, ikv = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    q_off = q_off_ref[0]
+    kv_off = q_off_ref[1]
+    G = group
+    D = k_ref.shape[-1]
+    rows = G * block_q
+    n = nlive_ref[bi, ikv]
+    ku = kv_uni_ref[bi, ikv]
+
+    dk_scratch[:] = jnp.zeros_like(dk_scratch)
+    dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    def q_dmas(slot, t):
+        jq = qmap_ref[bi, ikv, t]
+        flat = pl.ds(jq * rows, rows)
+        return (
+            pltpu.make_async_copy(
+                q_any.at[bi, hi, :, pl.ds(jq * block_q, block_q), :],
+                q_buf.at[slot], sem.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                do_any.at[bi, hi, :, pl.ds(jq * block_q, block_q), :],
+                do_buf.at[slot], sem.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                lse_any.at[bi, hi, :, flat], lse_buf.at[slot], sem.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                delta_any.at[bi, hi, :, flat], delta_buf.at[slot],
+                sem.at[slot, 3],
+            ),
+        )
+
+    @pl.when(n > 0)
+    def _warmup():
+        for dma in q_dmas(0, 0):
+            dma.start()
+
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < n)
+        def _prefetch():
+            for dma in q_dmas((t + 1) % 2, t + 1):
+                dma.start()
+
+        for dma in q_dmas(slot, t):
+            dma.wait()
+        jq = qmap_ref[bi, ikv, t]
+        qu = q_uni_ref[bi, jq]
+        q = q_buf[slot].reshape(rows, D)
+        do = do_buf[slot].reshape(rows, D)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)  # [bkv, G*bq]
+        interior = (qu >= 0) & (qu == ku)
+        if causal:
+            interior = interior & (
+                kv_off + (ikv + 1) * block_kv - 1 <= q_off + jq * block_q
+            )
+        lse = lse_buf[slot][0][None, :] * LOG2E
+
+        def masked_p(st):
+            mask = _tile_mask_t(
+                q_seg_ref[0, 0, pl.ds(jq * block_q, block_q)],
+                kv_seg_ref[0, 0],
+                q_off, kv_off, jq, ikv, block_q, block_kv, G, causal,
+            )
+            return jnp.where(mask, jnp.exp2(st - lse), 0.0)
+
+        pt = jax.lax.cond(
+            interior, lambda st: jnp.exp2(st - lse), masked_p, st
+        )
+        dv_scratch[:] += jax.lax.dot_general(
+            pt.astype(do.dtype), do,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dpt = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = delta_buf[slot][0][None, :]
+        dst = (pt * (dpt - delta)).astype(q.dtype)
+        dk_scratch[:] += scale * jax.lax.dot_general(
+            dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return _
+
+    jax.lax.fori_loop(0, n, body, None)
+    dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
+                    scale, block_q, block_kv, interpret):
+    B, T, H, D = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    qg, kh, vh, G = _grouped_views(q, k, v)
+    dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    outg = out.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    delta = jnp.sum(
+        dog.astype(jnp.float32) * outg.astype(jnp.float32), axis=-1
+    )
+    nq = pl.cdiv(T, block_q)
+    nkv = pl.cdiv(S, block_kv)
+    lse_p = _permute_lse(lse, nq, block_q)
+    delta_p = _permute_lse(delta, nq, block_q)
+
+    q_uni = _block_uniform(q_seg, block_q)
+    kv_uni = _block_uniform(kv_seg, block_kv)
+    kvmap, kv_nlive = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                                    block_q, block_kv, causal)
+    rows = G * block_q
+    fused = T == S and 2 * S * D * 4 <= FUSED_BWD_VMEM_LIMIT
+
+    if fused:
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_fused_kernel_dyn, scale=scale, causal=causal,
+                block_q=block_q, block_kv=block_kv, nq=nq, group=G,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(B, Hkv, nq),
+                in_specs=[
+                    pl.BlockSpec((1, 1, block_q), lambda b, h, iq, *_: (b, 0, iq)),
+                    pl.BlockSpec((1, 1, S), lambda b, h, iq, *_: (b, 0, 0)),
+                    pl.BlockSpec((1, 1, G, block_q, D),
+                                 lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((1, 1, G, block_q, D),
+                                 lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                    pl.BlockSpec((1, 1, 1, rows),
+                                 lambda b, h, iq, *_: (b, h, 0, iq)),
+                    pl.BlockSpec((1, 1, 1, rows),
+                                 lambda b, h, iq, *_: (b, h, 0, iq)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, G, block_q, D),
+                                 lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                    pl.BlockSpec((1, 1, S, D), lambda b, h, iq, *_: (b, h, 0, 0)),
+                    pl.BlockSpec((1, 1, S, D), lambda b, h, iq, *_: (b, h, 0, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, block_kv, D), k.dtype),
+                    pltpu.VMEM((2, block_kv, D), v.dtype),
+                    pltpu.VMEM((rows, D), jnp.float32),
+                    pltpu.VMEM((S, D), jnp.float32),
+                    pltpu.VMEM((S, D), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(q_off, q_uni, kv_uni, kvmap, kv_nlive,
+          q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse_p,
+          delta_p)
+        dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+        dk = dk.transpose(0, 2, 1, 3)
+        dv = dv.transpose(0, 2, 1, 3)
+        return dq, dk, dv
+
+    qmap, q_nlive = _q_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                                 block_q, block_kv, causal)
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel_dyn, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, group=G,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(B, Hkv, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q), lambda b, h, iq, *_: (b, 0, iq)),
+                pl.BlockSpec((1, 1, S), lambda b, h, iq, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, G, block_q, D),
+                             lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, G, block_q, D),
+                             lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+                pl.BlockSpec((1, 1, 1, rows), lambda b, h, iq, *_: (b, h, 0, iq)),
+                pl.BlockSpec((1, 1, 1, rows), lambda b, h, iq, *_: (b, h, 0, iq)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, G, block_q, D),
+                                   lambda b, h, iq, *_: (b, h, 0, iq, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, block_kv, D), k.dtype),
+                pltpu.VMEM((2, block_kv, D), v.dtype),
+                pltpu.VMEM((rows, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(q_off, q_uni, kv_uni, kvmap, kv_nlive,
+      q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse_p, delta_p)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel_dyn, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, group=G,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(B, Hkv, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, T), lambda b, h, ikv, *_: (b, 0, 0)),
+                pl.BlockSpec((1, 1, block_kv), lambda b, h, ikv, *_: (b, 0, ikv)),
+                pl.BlockSpec(memory_space=pl.ANY),  # q
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ikv, *_: (b, h, ikv, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ikv, *_: (b, h, ikv, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),  # do
+                pl.BlockSpec(memory_space=pl.ANY),  # lse
+                pl.BlockSpec(memory_space=pl.ANY),  # delta
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ikv, *_: (b, h, ikv, 0)),
+                pl.BlockSpec((1, 1, block_kv, D),
+                             lambda b, h, ikv, *_: (b, h, ikv, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, G, block_q, D), q.dtype),
+                pltpu.VMEM((2, G, block_q, D), do.dtype),
+                pltpu.VMEM((2, 1, rows), jnp.float32),
+                pltpu.VMEM((2, 1, rows), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.VMEM((block_kv, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, S, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(q_off, q_uni, kv_uni, qmap, q_nlive,
+      q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse_p, delta_p)
+
+    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    dk = dk.transpose(0, 2, 1, 3)
+    dv = dv.transpose(0, 2, 1, 3)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -529,9 +1177,10 @@ def _kv_block_map(q_uni, kv_uni, q_off, kv_off, nq, nkv, block_q, block_kv,
         skey, jnp.maximum(n_live - 1, 0)[..., None], axis=-1
     )
     last = jnp.where(n_live[..., None] == 0, 0, last)
-    return jnp.where(
+    kvmap = jnp.where(
         j[None, None, :] < n_live[..., None], skey, last
     ).astype(jnp.int32)
+    return kvmap, n_live.astype(jnp.int32)
 
 
 def _q_block_map(q_uni, kv_uni, q_off, kv_off, nq, nkv, block_q, block_kv,
@@ -556,9 +1205,10 @@ def _q_block_map(q_uni, kv_uni, q_off, kv_off, nq, nkv, block_q, block_kv,
         skey, jnp.maximum(n_live - 1, 0)[..., None], axis=-1
     )
     last = jnp.where(n_live[..., None] == 0, 0, last)
-    return jnp.where(
+    qmap = jnp.where(
         i[None, None, :] < n_live[..., None], skey, last
     ).astype(jnp.int32)
+    return qmap, n_live.astype(jnp.int32)
 
 
 def _block_uniform(seg: jax.Array, block: int) -> jax.Array:
@@ -586,6 +1236,9 @@ def _grouped_views(q, k, v):
 
 def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
                 interpret, static_zero_offsets=False):
+    if USE_DYNAMIC_KERNELS:
+        return _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale,
+                               block_q, block_kv, interpret)
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     qg, kh, vh, G = _grouped_views(q, k, v)
@@ -617,8 +1270,8 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
     )
     q_uni = _block_uniform(q_seg, block_q)
     kv_uni = _block_uniform(kv_seg, block_kv)
-    kvmap = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
-                          block_q, block_kv, causal)
+    kvmap, _ = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                             block_q, block_kv, causal)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -658,13 +1311,16 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
 
 def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
                 block_q, block_kv, interpret, static_zero_offsets=False):
+    if USE_DYNAMIC_KERNELS:
+        return _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do,
+                               causal, scale, block_q, block_kv, interpret)
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     G = H // Hkv
     # the fused one-pass kernel keeps dK/dV for the WHOLE sequence in VMEM;
     # use it when that scratch fits, otherwise fall back to the two-kernel
     # split (longer sequences / bigger head dims)
-    if T == S and 2 * S * D * 4 <= 6 * 2**20:
+    if T == S and 2 * S * D * 4 <= FUSED_BWD_VMEM_LIMIT:
         return _bwd_pallas_fused(
             q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
             block_q, block_kv, interpret, static_zero_offsets,
@@ -716,10 +1372,10 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
 
     q_uni = _block_uniform(q_seg, block_q)
     kv_uni = _block_uniform(kv_seg, block_kv)
-    kvmap = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
-                          block_q, block_kv, causal)
-    qmap = _q_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
-                        block_q, block_kv, causal)
+    kvmap, _ = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                             block_q, block_kv, causal)
+    qmap, _ = _q_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                           block_q, block_kv, causal)
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
@@ -827,8 +1483,8 @@ def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
 
     q_uni = _block_uniform(q_seg, block_q)
     kv_uni = _block_uniform(kv_seg, block_kv)
-    kvmap = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
-                          block_q, block_kv, causal)
+    kvmap, _ = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
+                             block_q, block_kv, causal)
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, scale=scale, causal=causal,
