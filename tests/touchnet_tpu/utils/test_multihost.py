@@ -31,6 +31,9 @@ def test_two_process_batch_assembly():
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_NUM_CPU_DEVICES"] = "2"
+    # the worker runs as `python <abs path>`, so sys.path[0] is its own
+    # directory, not the repo root — put the repo on PYTHONPATH explicitly
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, coordinator, str(i)],

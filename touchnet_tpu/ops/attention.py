@@ -55,8 +55,10 @@ _MIN_LANE = 128
 # for A/B timing (set False to compare) and as a fallback
 USE_DYNAMIC_KERNELS = True
 # the one-pass fused backward keeps whole-sequence dK/dV in VMEM scratch;
-# above this byte budget the split (dq + dkv) kernels run instead
-FUSED_BWD_VMEM_LIMIT = 6 * 2**20
+# above this byte budget the split (dq + dkv) kernels run instead. The
+# budget is measured on the 128-lane-padded head dim (so 8k seq @ head 64
+# -> 8 MiB still takes the fused path).
+FUSED_BWD_VMEM_LIMIT = 9 * 2**20
 
 
 def _on_tpu() -> bool:
@@ -352,8 +354,28 @@ def _fwd_kernel_dyn(
     lse_ref[0, 0, 0] = lse.astype(lse_ref.dtype)
 
 
+def _pad_head_dim(*arrays):
+    """Zero-pad the trailing head dim to the 128 lane tile.
+
+    The dyn kernels DMA K/V (and q/do) blocks out of pl.ANY (HBM) refs by
+    hand; Mosaic requires manual-DMA slices of the minor, lane-tiled dim to
+    be 128-aligned, so head_dim 64 (e.g. Llama-3.2-1B) must be padded.
+    Zero columns are exact: they add 0 to every dot product, and padded
+    output columns are sliced off by the caller. The MXU cost is unchanged —
+    a K=64 contraction already occupies a 128-lane tile internally.
+    """
+    D = arrays[0].shape[-1]
+    Dp = -(-D // _MIN_LANE) * _MIN_LANE
+    if Dp == D:
+        return arrays
+    pad = [(0, 0)] * (arrays[0].ndim - 1) + [(0, Dp - D)]
+    return tuple(jnp.pad(a, pad) for a in arrays)
+
+
 def _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
                     block_kv, interpret):
+    D_out = q.shape[-1]
+    q, k, v = _pad_head_dim(q, k, v)
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     qg, kh, vh, G = _grouped_views(q, k, v)
@@ -405,7 +427,7 @@ def _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
         interpret=interpret,
     )(q_off, q_uni, kv_uni, kvmap, nlive,
       q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
-    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)[..., :D_out]
     lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse
 
@@ -959,6 +981,8 @@ def _bwd_dkv_kernel_dyn(
 
 def _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
                     scale, block_q, block_kv, interpret):
+    D_out = q.shape[-1]
+    q, k, v, out, do = _pad_head_dim(q, k, v, out, do)
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     qg, kh, vh, G = _grouped_views(q, k, v)
@@ -1027,9 +1051,9 @@ def _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
         )(q_off, q_uni, kv_uni, kvmap, kv_nlive,
           q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse_p,
           delta_p)
-        dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
-        dk = dk.transpose(0, 2, 1, 3)
-        dv = dv.transpose(0, 2, 1, 3)
+        dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)[..., :D_out]
+        dk = dk.transpose(0, 2, 1, 3)[..., :D_out]
+        dv = dv.transpose(0, 2, 1, 3)[..., :D_out]
         return dq, dk, dv
 
     qmap, q_nlive = _q_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
@@ -1114,9 +1138,9 @@ def _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
     )(q_off, q_uni, kv_uni, qmap, q_nlive,
       q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh, dog, lse_p, delta_p)
 
-    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)
-    dk = dk.transpose(0, 2, 1, 3)
-    dv = dv.transpose(0, 2, 1, 3)
+    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)[..., :D_out]
+    dk = dk.transpose(0, 2, 1, 3)[..., :D_out]
+    dv = dv.transpose(0, 2, 1, 3)[..., :D_out]
     return dq, dk, dv
 
 
