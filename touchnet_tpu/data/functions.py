@@ -115,17 +115,33 @@ def audio_compute_mfcc(data, config: DataConfig):
     for sample in data:
         assert "sample_rate" in sample and "waveform" in sample
         waveform = sample["waveform"] * (1 << 15)
-        sample["audiofeat"] = dsp.mfcc(
-            waveform,
-            num_mel_bins=config.audiofeat_num_mel_bins,
-            frame_length=config.audiofeat_frame_length,
-            frame_shift=config.audiofeat_frame_shift,
-            dither=config.audiofeat_dither,
-            num_ceps=config.audiofeat_num_ceps,
-            high_freq=config.audiofeat_high_freq,
-            low_freq=config.audiofeat_low_freq,
-            sample_frequency=sample["sample_rate"],
-        )
+        feat = None
+        if config.audiofeat_dither == 0.0:
+            # hot path: C++ frontend (native/frontend.cc); None -> numpy
+            feat = native.mfcc_native(
+                waveform,
+                num_mel_bins=config.audiofeat_num_mel_bins,
+                frame_length=config.audiofeat_frame_length,
+                frame_shift=config.audiofeat_frame_shift,
+                dither=0.0,
+                num_ceps=config.audiofeat_num_ceps,
+                sample_frequency=sample["sample_rate"],
+                low_freq=config.audiofeat_low_freq,
+                high_freq=config.audiofeat_high_freq,
+            )
+        if feat is None:
+            feat = dsp.mfcc(
+                waveform,
+                num_mel_bins=config.audiofeat_num_mel_bins,
+                frame_length=config.audiofeat_frame_length,
+                frame_shift=config.audiofeat_frame_shift,
+                dither=config.audiofeat_dither,
+                num_ceps=config.audiofeat_num_ceps,
+                high_freq=config.audiofeat_high_freq,
+                low_freq=config.audiofeat_low_freq,
+                sample_frequency=sample["sample_rate"],
+            )
+        sample["audiofeat"] = feat
         yield sample
 
 
@@ -133,7 +149,7 @@ def audio_compute_log_mel_spectrogram(data, config: DataConfig):
     """Whisper-style log-mel (see dsp.log_mel_spectrogram)."""
     for sample in data:
         assert "sample_rate" in sample and "waveform" in sample
-        sample["audiofeat"] = dsp.log_mel_spectrogram(
+        feat = native.logmel_native(
             sample["waveform"],
             sample_rate=sample["sample_rate"],
             n_fft=config.audiofeat_n_fft,
@@ -141,6 +157,16 @@ def audio_compute_log_mel_spectrogram(data, config: DataConfig):
             n_mels=config.audiofeat_num_mel_bins,
             padding=config.audiofeat_padding,
         )
+        if feat is None:
+            feat = dsp.log_mel_spectrogram(
+                sample["waveform"],
+                sample_rate=sample["sample_rate"],
+                n_fft=config.audiofeat_n_fft,
+                hop_length=config.audiofeat_hop_length,
+                n_mels=config.audiofeat_num_mel_bins,
+                padding=config.audiofeat_padding,
+            )
+        sample["audiofeat"] = feat
         yield sample
 
 

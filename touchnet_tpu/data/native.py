@@ -67,6 +67,22 @@ def get_lib():
             ]
             lib.touchnet_fbank_num_frames.restype = ctypes.c_int
             lib.touchnet_fbank_num_frames.argtypes = [ctypes.c_int] * 4
+            lib.touchnet_mfcc.restype = ctypes.c_int
+            lib.touchnet_mfcc.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                ctypes.c_uint64, ctypes.c_int, ctypes.c_float,
+                ctypes.c_float, ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.touchnet_logmel_num_frames.restype = ctypes.c_int
+            lib.touchnet_logmel_num_frames.argtypes = [ctypes.c_int] * 4
+            lib.touchnet_logmel.restype = ctypes.c_int
+            lib.touchnet_logmel.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
             _lib = lib
         except OSError:
             _lib_failed = True
@@ -103,6 +119,75 @@ def fbank_native(
         wave.size, int(sample_frequency), int(num_mel_bins),
         int(frame_length), int(frame_shift), float(dither),
         int(dither_seed),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if written != frames:
+        return None
+    return out
+
+
+def mfcc_native(
+    waveform: np.ndarray,
+    num_mel_bins: int,
+    frame_length: int,
+    frame_shift: int,
+    dither: float,
+    num_ceps: int,
+    sample_frequency: int,
+    cepstral_lifter: float = 22.0,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+    dither_seed: int = 0,
+) -> Optional[np.ndarray]:
+    """Native kaldi MFCC (fbank -> DCT-II -> lifter); None when unavailable.
+    waveform: int16-scale float samples (flattened)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    wave = np.ascontiguousarray(np.asarray(waveform).reshape(-1), np.float32)
+    frames = lib.touchnet_fbank_num_frames(
+        wave.size, int(sample_frequency), int(frame_length), int(frame_shift)
+    )
+    if frames <= 0:
+        return np.empty((0, num_ceps), np.float32)
+    out = np.empty((frames, num_ceps), np.float32)
+    written = lib.touchnet_mfcc(
+        wave.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wave.size, int(sample_frequency), int(num_mel_bins),
+        int(frame_length), int(frame_shift), float(dither),
+        int(dither_seed), int(num_ceps), float(cepstral_lifter),
+        float(low_freq), float(high_freq),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if written != frames:
+        return None
+    return out
+
+
+def logmel_native(
+    waveform: np.ndarray,
+    sample_rate: int,
+    n_fft: int,
+    hop_length: int,
+    n_mels: int,
+    padding: int = 0,
+) -> Optional[np.ndarray]:
+    """Native Whisper-style log-mel; None when unavailable.
+    waveform: raw float samples in [-1, 1] (flattened)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    wave = np.ascontiguousarray(np.asarray(waveform).reshape(-1), np.float32)
+    frames = lib.touchnet_logmel_num_frames(
+        wave.size, int(padding), int(n_fft), int(hop_length)
+    )
+    if frames <= 0:
+        return np.empty((0, n_mels), np.float32)
+    out = np.empty((frames, n_mels), np.float32)
+    written = lib.touchnet_logmel(
+        wave.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        wave.size, int(sample_rate), int(n_fft), int(hop_length),
+        int(n_mels), int(padding),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     if written != frames:
