@@ -309,3 +309,47 @@ def test_ckpt_resume_exact_data_under_device_prefetch(tmp_path):
     deep = interrupted("resume_d4", 4)
     assert len(shallow) == 6
     np.testing.assert_allclose(shallow, deep, rtol=1e-6)
+
+
+def test_params_finite_guard():
+    """Post-load NaN/inf sweep names the offending parameter (reference
+    models/llama/__init__.py:33-36)."""
+    import jax.numpy as jnp
+
+    from touchnet_tpu.bin.train import _assert_params_finite
+
+    good = {"model": {"w": jnp.ones((4, 4)), "ids": jnp.arange(4)}}
+    _assert_params_finite(good)  # no raise
+    bad = {"model": {"w": jnp.array([1.0, jnp.nan]), "b": jnp.ones(2)}}
+    with pytest.raises(ValueError, match=r"NaN/inf in model parameters.*w"):
+        _assert_params_finite(bad)
+
+
+def test_batch_nan_guard(tmp_path):
+    """_put_batch rejects non-finite float features before device put
+    (reference modeling_touch_audio.py:133-134 raises on NaN embeds)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from touchnet_tpu.bin.train import Trainer
+    from touchnet_tpu.parallel.dims import ParallelDims
+
+    n = len(jax.devices())
+    mesh = ParallelDims(
+        dp_replicate=1, dp_shard=n, cp=1, tp=1, pp=1, world_size=n
+    ).build_mesh()
+    fake = SimpleNamespace(mesh=mesh)
+    feats = np.ones((n, 8, 4), np.float32)
+    feats[0, 3, 1] = np.nan
+    batch = {
+        "input_ids": np.ones((n, 8), np.int32),
+        "input_features": feats,
+        "num_sentence": 2,
+    }
+    with pytest.raises(ValueError, match="input_features"):
+        Trainer._put_batch(fake, batch)
+    batch["input_features"] = np.ones((n, 8, 4), np.float32)
+    device_batch, ns = Trainer._put_batch(fake, batch)
+    assert device_batch["input_ids"].shape == (n, 8)
+    assert float(ns) == 2.0

@@ -68,6 +68,19 @@ _BATCH_ARRAY_KEYS = (
 )
 
 
+def _assert_params_finite(params) -> None:
+    """Post-init/post-load NaN/inf sweep over every float parameter leaf
+    (reference models/llama/__init__.py:33-36 raises per offending name)."""
+    bad = []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
+            continue
+        if not bool(jax.jit(lambda x: jnp.isfinite(x).all())(leaf)):
+            bad.append(jax.tree_util.keystr(path))
+    if bad:
+        raise ValueError(f"NaN/inf in model parameters: {bad[:5]}")
+
+
 class GlobalBatchLoader:
     """Assembles the global batch from per-dp-rank loader streams.
 
@@ -385,6 +398,7 @@ class Trainer:
         self.params = loaded["params"]
         self.opt_state = loaded["opt_state"]
         self.step = loaded["step"]
+        _assert_params_finite(self.params)
 
         self.train_step_fn = self._build_train_step()
         self.eval_step_fn = self._build_eval_step()
@@ -602,6 +616,13 @@ class Trainer:
             for k in _BATCH_ARRAY_KEYS
             if batch.get(k) is not None and isinstance(batch[k], np.ndarray)
         }
+        # input NaN guard (reference modeling_touch_audio.py:133-134 raises
+        # on NaN embeds in-graph; TPU-first, the check runs host-side on the
+        # float features before they ever reach the device — data-dependent
+        # raises cannot live under jit)
+        for k, a in arrays.items():
+            if np.issubdtype(a.dtype, np.floating) and not np.isfinite(a).all():
+                raise ValueError(f"NaN/inf in data batch `{k}`.")
         specs = batch_specs(arrays, self.mesh)
         if jax.process_count() > 1:
             device_batch = jax.tree.map(
