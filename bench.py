@@ -78,12 +78,14 @@ def build(config, batch, seqlen):
         )
         return loss
 
-    @jax.jit
-    def step(p, s, b):
+    def _step(p, s, b):
         loss, grads = jax.value_and_grad(loss_fn)(p, b)
         updates, s = tx.update(grads, s, p)
         return optax.apply_updates(p, updates), s, loss
 
+    # donated params/opt state (the production trainer donates too):
+    # updates alias their input buffers instead of double-allocating
+    step = jax.jit(_step, donate_argnums=(0, 1))
     return step, params, opt_state, db
 
 
