@@ -304,10 +304,12 @@ def _fwd_kernel_dyn(
             dma.wait()
         jkv = kvmap_ref[bi, iq, t]
         ku = kv_uni_ref[bi, jkv]
-        k = k_buf[slot]
+        # softmax scale + exp2 base conversion folded into the small K block
+        # ([bkv, D] elements) instead of a full [G*bq, bkv] f32 pass on s
+        k = k_buf[slot] * jnp.asarray(scale * LOG2E, k_buf.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # [G*bq, bkv] f32, base-2 space
+        )  # [G*bq, bkv] f32, base-2 space
 
         interior = (qu >= 0) & (qu == ku)
         if causal:
