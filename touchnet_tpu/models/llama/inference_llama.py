@@ -34,24 +34,34 @@ def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
-def _cached_attention(q, k_cache, v_cache, valid_len, scale):
+def _cached_attention(q, k_cache, v_cache, valid_len, scale, attn_mask=None):
     """q [B,Tq,H,D] attends cache [B,S,Hkv,D] positions < valid_len (+ its
-    own causal rows for Tq > 1 prefill)."""
+    own causal rows for Tq > 1 prefill). GQA-grouped: query heads fold into
+    their kv head's contraction — the cache is never repeat-expanded or
+    up-cast (a [B,S,H,D] f32 materialization would dominate decode-step
+    HBM traffic at batch > 1). attn_mask [B,S] overrides the contiguous
+    validity default (non-contiguous caches: prompt gap slots)."""
     B, Tq, H, D = q.shape
     S, Hkv = k_cache.shape[1], k_cache.shape[2]
-    if Hkv != H:
-        k_cache = jnp.repeat(k_cache, H // Hkv, axis=2)
-        v_cache = jnp.repeat(v_cache, H // Hkv, axis=2)
-    s = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
-                   k_cache.astype(jnp.float32)) * scale
-    # rows are at absolute positions valid_len - Tq + t
-    rows = (valid_len[:, None] - Tq + jnp.arange(Tq)[None, :])  # [B,Tq]
-    cols = jnp.arange(S)[None, None, :]
-    mask = cols <= rows[:, :, None]  # [B,Tq,S]
-    s = jnp.where(mask[:, None], s, NEG_INF)
+    G = H // Hkv
+    qg = q.reshape(B, Tq, Hkv, G, D)
+    s = jnp.einsum(
+        "btkgd,bskd->bkgts", qg, k_cache,
+        preferred_element_type=jnp.float32,
+    ) * scale  # [B,Hkv,G,Tq,S] f32
+    if attn_mask is None:
+        # rows are at absolute positions valid_len - Tq + t
+        rows = (valid_len[:, None] - Tq + jnp.arange(Tq)[None, :])  # [B,Tq]
+        cols = jnp.arange(S)[None, None, :]
+        mask = cols <= rows[:, :, None]  # [B,Tq,S]
+    else:
+        mask = attn_mask[:, None, :]  # [B,1->Tq,S]
+    s = jnp.where(mask[:, None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", p.astype(v_cache.dtype), v_cache)
-    return out.astype(q.dtype)
+    out = jnp.einsum(
+        "bkgts,bskd->btkgd", p.astype(v_cache.dtype), v_cache
+    )
+    return out.reshape(B, Tq, H, D).astype(q.dtype)
 
 
 def forward_step(
@@ -61,8 +71,17 @@ def forward_step(
     start_pos: jax.Array,  # [B] absolute position of inputs_embeds[:, 0]
     config: LlamaConfig,
     compute_dtype=jnp.bfloat16,
+    *,
+    write_pos: Optional[jax.Array] = None,  # SCALAR cache slot override
+    attn_mask: Optional[jax.Array] = None,  # [B, S] cache-slot validity
 ) -> tuple:
-    """Returns (logits [B, Tq, V], new_cache)."""
+    """Returns (logits [B, Tq, V], new_cache).
+
+    start_pos drives rope (semantic positions) and the default contiguous
+    attention validity. write_pos, when given, is the SCALAR slot every
+    row's kv is stored at — a uniform slot keeps the cache update a true
+    in-place lax.dynamic_update_slice; per-row start_pos slots lower to a
+    scatter that copies the cache every step (TPU decode killer)."""
     mp = params["model"]
     B, Tq, _ = inputs_embeds.shape
     h = inputs_embeds.astype(compute_dtype)
@@ -75,9 +94,14 @@ def forward_step(
         config.num_attention_heads, config.num_key_value_heads, config.head_dim
     )
 
-    def layer(carry, xs):
-        h = carry
-        lp, k_cache_l, v_cache_l = xs
+    def layer(carry, lp):
+        # the WHOLE cache rides the scan carry: lax.scan aliases carries in
+        # place, so the per-layer dynamic_update_slice never copies the
+        # [L, B, S, Hkv, Dh] buffers (as scan xs/ys they are re-stacked —
+        # a full cache copy per decode step)
+        h, k_all, v_all, li = carry
+        k_cache_l = k_all[li]
+        v_cache_l = v_all[li]
         lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
         normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
         sa = lp["self_attn"]
@@ -88,15 +112,31 @@ def forward_step(
         k = k.reshape(B, Tq, Hkv, Dh)
         v = v.reshape(B, Tq, Hkv, Dh)
         q, k = apply_rope(q, k, position_ids, inv_freq)
-        # write new kv into the cache at start_pos (same for all rows: we
-        # use per-batch dynamic slices via vmap)
-        def upd(cache_l, new, sp):
-            return jax.lax.dynamic_update_slice(
-                cache_l, new.astype(cache_l.dtype), (sp, 0, 0)
-            )
-        k_cache_l = jax.vmap(upd)(k_cache_l, k, start_pos)
-        v_cache_l = jax.vmap(upd)(v_cache_l, v, start_pos)
-        attn = _cached_attention(q, k_cache_l, v_cache_l, valid_len, scale)
+        if write_pos is not None:
+            # uniform slot: one in-place dynamic_update_slice for the batch
+            def upd(cache_l, new):
+                return jax.lax.dynamic_update_slice(
+                    cache_l, new.astype(cache_l.dtype), (0, write_pos, 0, 0)
+                )
+        else:
+            # per-row slots (ragged prefill): vmapped slices -> scatter
+            def upd(cache_l, new):
+                return jax.vmap(
+                    lambda c, n, sp: jax.lax.dynamic_update_slice(
+                        c, n.astype(c.dtype), (sp, 0, 0)
+                    )
+                )(cache_l, new, start_pos)
+        k_cache_l = upd(k_cache_l, k)
+        v_cache_l = upd(v_cache_l, v)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k_cache_l[None], (li, 0, 0, 0, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v_cache_l[None], (li, 0, 0, 0, 0)
+        )
+        attn = _cached_attention(
+            q, k_cache_l, v_cache_l, valid_len, scale, attn_mask
+        )
         h = h + linear(attn.reshape(B, Tq, H * Dh), sa["o_proj"]["weight"])
         normed = rms_norm(h, lp["post_attention_layernorm"]["weight"],
                           config.rms_norm_eps)
@@ -106,9 +146,13 @@ def forward_step(
             lp["mlp"]["up_proj"]["weight"],
             lp["mlp"]["down_proj"]["weight"],
         )
-        return h, (k_cache_l, v_cache_l)
+        return (h, k_all, v_all, li + 1), None
 
-    h, (new_k, new_v) = jax.lax.scan(layer, h, (mp["layers"], cache.k, cache.v))
+    (h, new_k, new_v, _), _ = jax.lax.scan(
+        layer,
+        (h, cache.k, cache.v, jnp.asarray(0, jnp.int32)),
+        mp["layers"],
+    )
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
     head_w = (
         mp["embed_tokens"]["weight"]
@@ -183,10 +227,11 @@ def generate(
 
     cache = init_cache(config, B, max_len, compute_dtype)
     # prefill with start_pos 0 for all rows (padded rows attend causally;
-    # garbage beyond prompt_len is never read back)
+    # garbage beyond prompt_len is never read back); slot 0 is uniform
     logits, cache = forward_step(
         params, prompt_embeds, cache,
         jnp.zeros((B,), jnp.int32), config, compute_dtype,
+        write_pos=jnp.asarray(0, jnp.int32),
     )
     last_logits = jnp.take_along_axis(
         logits, (prompt_len - 1)[:, None, None], axis=1
@@ -209,8 +254,17 @@ def generate(
         done = done | (tok == eos_id)
         recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
         emb = embed_fn(tok)[:, None, :]  # [B,1,E]
+        # decode kv lands at the UNIFORM slot Tp + step (in-place cache
+        # update); semantic/rope position stays the per-row prompt_len +
+        # step. Validity: the row's own prompt [0, plen) plus the decoded
+        # slots [Tp, Tp + step]; the gap [plen, Tp) holds prompt padding.
+        cols = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+        valid = (cols < prompt_len[:, None]) | (
+            (cols >= Tp) & (cols <= Tp + step)
+        )
         logits, cache = forward_step(
-            params, emb, cache, prompt_len + step, config, compute_dtype
+            params, emb, cache, prompt_len + step, config, compute_dtype,
+            write_pos=Tp + step, attn_mask=valid,
         )
         return step + 1, cache, logits[:, 0], out, done, recent, key
 
