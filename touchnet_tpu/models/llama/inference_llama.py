@@ -74,6 +74,7 @@ def forward_step(
     *,
     write_pos: Optional[jax.Array] = None,  # SCALAR cache slot override
     attn_mask: Optional[jax.Array] = None,  # [B, S] cache-slot validity
+    flash_prefill: bool = False,  # Tq>1 chunk at start_pos 0: flash kernel
 ) -> tuple:
     """Returns (logits [B, Tq, V], new_cache).
 
@@ -134,9 +135,18 @@ def forward_step(
         v_all = jax.lax.dynamic_update_slice(
             v_all, v_cache_l[None], (li, 0, 0, 0, 0)
         )
-        attn = _cached_attention(
-            q, k_cache_l, v_cache_l, valid_len, scale, attn_mask
-        )
+        if flash_prefill and Tq > 1:
+            # the chunk is self-contained (start_pos 0): attend within the
+            # fresh k/v via the packed flash kernel — the dense
+            # [B, H, Tq, S] f32 score tensor of the eager path is
+            # quadratic in prompt length and caps serving context
+            from touchnet_tpu.ops.attention import flash_attention
+
+            attn = flash_attention(q, k, v, causal=True, scale=scale)
+        else:
+            attn = _cached_attention(
+                q, k_cache_l, v_cache_l, valid_len, scale, attn_mask
+            )
         h = h + linear(attn.reshape(B, Tq, H * Dh), sa["o_proj"]["weight"])
         normed = rms_norm(h, lp["post_attention_layernorm"]["weight"],
                           config.rms_norm_eps)
@@ -232,6 +242,7 @@ def generate(
         params, prompt_embeds, cache,
         jnp.zeros((B,), jnp.int32), config, compute_dtype,
         write_pos=jnp.asarray(0, jnp.int32),
+        flash_prefill=True,
     )
     last_logits = jnp.take_along_axis(
         logits, (prompt_len - 1)[:, None, None], axis=1
