@@ -114,6 +114,91 @@ def test_unsupported_schedules_raise():
         )
 
 
+@pytest.mark.parametrize(
+    "dp_rep,dp_shard", [(1, 1), (1, 4), (2, 2)]  # incl. interleaved x FSDP
+)
+def test_interleaved_forward_matches_golden(dp_rep, dp_shard):
+    config = LlamaConfig.from_json_file(CFG)
+    config.num_hidden_layers = 4  # pp=2 x 2 virtual stages -> 1 layer/chunk
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+
+    pd = ParallelDims(
+        world_size=2 * dp_rep * dp_shard,
+        dp_replicate=dp_rep, dp_shard=dp_shard, pp=2,
+    )
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="none",
+            schedule="Interleaved1F1B",
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_interleaved_grads_match_golden():
+    config = LlamaConfig.from_json_file(CFG)
+    config.num_hidden_layers = 4
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=8, dp_replicate=1, dp_shard=4, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    def loss_pp(p):
+        logits = pipeline_forward(
+            p, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="full",
+            schedule="Interleaved1F1B",
+            split_points="1,2,3",  # 4 stages / pp=2 -> V=2
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        logits = forward(p, input_ids=ids, config=config,
+                         compute_dtype=jnp.float32)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(sharded)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_interleaved_requires_m_equal_s():
+    config = LlamaConfig.from_json_file(CFG)
+    config.num_hidden_layers = 4
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=2, dp_replicate=1, dp_shard=1, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+    with pytest.raises(NotImplementedError, match="n_microbatches"):
+        pipeline_forward(
+            sharded, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, schedule="Interleaved1F1B",
+            n_microbatches=4,
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "dp_rep,dp_shard", [(4, 1), (1, 4), (2, 2)]
@@ -129,6 +214,29 @@ def test_train_e2e_pipeline(tmp_path, dp_rep, dp_shard):
         training_data_parallel_replicate_degree=dp_rep,
         training_tensor_parallel_degree=1,
         training_pipeline_parallel_degree=2,
+        dataset_batchsize=2,
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3
+
+
+@pytest.mark.slow
+def test_train_e2e_interleaved(tmp_path):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bin"))
+    from test_train import build_corpus, make_args, run_trainer
+
+    listfile = build_corpus(tmp_path)
+    cfg4 = os.path.join(
+        os.path.dirname(CFG), "tiny_llama_4l.json"
+    )
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_model_config_path=cfg4,
+        training_data_parallel_shard_degree=4,
+        training_data_parallel_replicate_degree=1,
+        training_tensor_parallel_degree=1,
+        training_pipeline_parallel_degree=2,
+        training_pipeline_parallel_schedule="Interleaved1F1B",
         dataset_batchsize=2,
     )
     trainer = run_trainer(argv)

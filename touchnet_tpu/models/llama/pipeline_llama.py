@@ -23,6 +23,7 @@ from touchnet_tpu.parallel.pipeline import (
     make_layer_gather,
     parse_split_points,
     pipeline_apply,
+    virtual_stages_of,
 )
 
 
@@ -49,7 +50,10 @@ def pipeline_forward(
     S = mesh.shape["pp"]
     if n_microbatches is None:
         n_microbatches = S
-    parse_split_points(split_points, config.num_hidden_layers, S)
+    V = virtual_stages_of(
+        split_points, config.num_hidden_layers, S, schedule
+    )
+    parse_split_points(split_points, config.num_hidden_layers, S, V)
     mp = params["model"]
     if inputs_embeds is None:
         inputs_embeds = jnp.take(mp["embed_tokens"]["weight"], input_ids, axis=0)
@@ -103,7 +107,7 @@ def pipeline_forward(
         mesh, stage_fn, mp["layers"], h,
         {"segment_ids": segment_ids, "position_ids": position_ids},
         n_microbatches, remat=(remat_mode != "none"),
-        layer_specs=layer_specs, schedule=schedule,
+        layer_specs=layer_specs, schedule=schedule, virtual_stages=V,
     )
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
     head_w = (

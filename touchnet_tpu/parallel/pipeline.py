@@ -26,10 +26,18 @@
 # Schedules: under SPMD + jax autodiff, "GPipe" and "1F1B" share this loop:
 # the forward order is identical, the backward is the AD reversal (reverse
 # skew), and 1F1B's memory bound is subsumed by per-tick rematerialization
-# (only the [b, T, E] stage inputs are saved per tick). Interleaved1F1B /
-# ZBVZeroBubble / CSV schedules need per-rank work queues that break the
-# lockstep-loop model — they raise NotImplementedError instead of silently
-# degrading.
+# (only the [b, T, E] stage inputs are saved per tick).
+#
+# Interleaved1F1B maps onto the SAME lockstep loop with V virtual stages
+# per device: the stacked [L, ...] layer axis reshapes (for free) to
+# [V, S*K, ...] and shards dim 1 on "pp", which IS the strided chunk
+# assignment (device s holds semantic stages {v*S + s}); the ppermute ring
+# wraps stage S-1 -> 0 between virtual rounds. Ticks go from M + S - 1 to
+# M*V + S - 1 with 1/V the work per tick, so the bubble fraction drops
+# from (S-1)/(M+S-1) to (S-1)/(M*V+S-1) — the schedule's whole point.
+# ZBVZeroBubble / CSV schedules split weight- from activation-backward,
+# which jax autodiff's single reverse pass cannot reorder — they raise
+# NotImplementedError instead of silently degrading.
 
 import functools
 from typing import Callable, Optional
@@ -41,7 +49,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 BATCH = ("dp_replicate", "dp_shard")
 
-SUPPORTED_SCHEDULES = ("1F1B", "GPipe")
+SUPPORTED_SCHEDULES = ("1F1B", "GPipe", "Interleaved1F1B")
 
 
 def make_layer_gather(layer_specs, mesh: Mesh) -> Callable:
@@ -83,22 +91,50 @@ def pipeline_apply(
     remat: bool = True,
     layer_specs=None,  # PartitionSpec pytree for params_layers (P("pp", ...))
     schedule: str = "1F1B",
+    virtual_stages: int = 1,
 ):
     """Skewed SPMD pipeline: returns h_out [B, T, E] (last stage's results,
     replicated across pp)."""
     if schedule not in SUPPORTED_SCHEDULES:
         raise NotImplementedError(
             f"pipeline schedule {schedule!r}: only {SUPPORTED_SCHEDULES} map "
-            "onto the SPMD lockstep loop (Interleaved/ZBV/CSV need per-rank "
-            "work queues)"
+            "onto the SPMD lockstep loop (ZBV/CSV split weight- from "
+            "activation-backward, which jax autodiff cannot reorder)"
         )
     S = mesh.shape["pp"]
     M = n_microbatches
+    V = virtual_stages if schedule == "Interleaved1F1B" else 1
     B = h.shape[0]
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+    if V > 1 and M != S:
+        # the single-register ppermute relay is exact only when the wrap
+        # from stage S-1 arrives the tick stage 0 needs it: m + (v-1)M +
+        # S-1 + 1 == m + vM  <=>  M == S. Larger M needs an (M-S+1)-deep
+        # activation FIFO in the scan carry — not worth the memory before
+        # someone asks for it.
+        raise NotImplementedError(
+            f"Interleaved1F1B requires n_microbatches == pp degree "
+            f"(got M={M}, pp={S})"
+        )
 
     if layer_specs is None:
         layer_specs = jax.tree.map(lambda _: P("pp"), params_layers)
+    if V > 1:
+        # strided virtual-stage assignment: [L, ...] -> [V, S*K, ...] is a
+        # free reshape, and sharding dim 1 on "pp" puts semantic stages
+        # {v*S + s : v} on device s (chunk v = local[v])
+        def resh(x):
+            L = x.shape[0]
+            assert L % (S * V) == 0, (
+                f"layers {L} not divisible by pp*virtual = {S}*{V}"
+            )
+            return x.reshape(V, L // V, *x.shape[1:])
+
+        params_layers = jax.tree.map(resh, params_layers)
+        layer_specs = jax.tree.map(
+            lambda sp: P(None, *tuple(sp)),
+            layer_specs, is_leaf=lambda s: isinstance(s, P),
+        )
     h_spec = P(None, BATCH, None, None)  # [M, b, T, E]
     extras_spec = jax.tree.map(lambda _: P(None, BATCH), extras)
 
@@ -116,42 +152,61 @@ def pipeline_apply(
         # h_micro: [M, b, T, E] local to this device's (dp, ...) coords
         s = jax.lax.axis_index("pp")
         M_, b, T, E = h_micro.shape
-        fwd_perm = [(p, p + 1) for p in range(S - 1)]
+        if V > 1:
+            # ring: stage S-1 hands the end of virtual round v to stage 0,
+            # which starts round v+1
+            fwd_perm = [(p, (p + 1) % S) for p in range(S)]
+        else:
+            fwd_perm = [(p, p + 1) for p in range(S - 1)]
         is_last = s == S - 1
 
         def tick(recv, t):
-            # stage 0 consumes microbatch t; others consume what they received
+            # global microbatch-chunk index this stage works on at tick t
+            g = jnp.clip(t - s, 0, M_ * V - 1)
+            m_here = g % M_  # microbatch
+            v_here = g // M_  # virtual round
+            # stage 0 consumes a fresh microbatch only in round 0; in later
+            # rounds it consumes stage S-1's wrapped output
             mb = jax.lax.dynamic_index_in_dim(
                 h_micro, jnp.clip(t, 0, M_ - 1), axis=0, keepdims=False
             )
-            x = jnp.where(s == 0, mb, recv)
-            # the microbatch THIS stage processes at tick t is m = t - s
-            m_here = jnp.clip(t - s, 0, M_ - 1)
+            x = jnp.where((s == 0) & (t < M_), mb, recv)
             ex = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, m_here, axis=0, keepdims=False
                 ),
                 extras_micro,
             )
+            chunk = layers_local
+            if V > 1:
+                chunk = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(
+                        a, v_here, axis=0, keepdims=False
+                    ),
+                    layers_local,
+                )
             # ramp-up/down ticks carry no live microbatch for this stage:
             # skip the body (each core branches independently; the cond's
             # backward is likewise trivial on skipped ticks)
-            valid = (t >= s) & (t - s < M_)
+            valid = (t >= s) & (t - s < M_ * V)
             y = jax.lax.cond(
-                valid, lambda: body(layers_local, x, ex), lambda: x
+                valid, lambda: body(chunk, x, ex), lambda: x
             )
-            # last stage emits microbatch t-s at tick t; zero elsewhere so a
-            # single psum outside the scan publishes the result
-            y_out = jnp.where(valid & is_last, y, jnp.zeros_like(y))
+            # last stage's final-round output is microbatch g - (V-1)*M;
+            # zero elsewhere so one psum outside the scan publishes it
+            y_out = jnp.where(
+                valid & is_last & (v_here == V - 1), y, jnp.zeros_like(y)
+            )
             recv = jax.lax.ppermute(y, "pp", fwd_perm)
             return recv, y_out
 
         recv0 = jnp.zeros((b, T, E), h_micro.dtype)
         # scan (not fori_loop): the tick loop must be reverse-differentiable
-        _, ys = jax.lax.scan(tick, recv0, jnp.arange(M_ + S - 1))
-        # last stage's outputs live at ticks S-1 .. S-1+M in microbatch
-        # order; other stages contributed zeros
-        outs = jax.lax.slice_in_dim(ys, S - 1, S - 1 + M_, axis=0)
+        _, ys = jax.lax.scan(tick, recv0, jnp.arange(M_ * V + S - 1))
+        # last stage emits microbatch m of the final round at tick
+        # (V-1)*M + S - 1 + m; other stages contributed zeros
+        start = (V - 1) * M_ + S - 1
+        outs = jax.lax.slice_in_dim(ys, start, start + M_, axis=0)
         return jax.lax.psum(outs, "pp")
 
     h_micro = h.reshape(M, B // M, *h.shape[1:])
@@ -163,23 +218,44 @@ def pipeline_apply(
 
 
 def parse_split_points(
-    split_points: Optional[str], num_layers: int, pp: int
+    split_points: Optional[str], num_layers: int, pp: int, virtual: int = 1
 ) -> None:
     """Consume training_pipeline_parallel_split_points (reference
     pipeline_llama.py:31-337 manual split). The stacked-scan design splits
-    the layer axis into EQUAL pp slices; explicit split points are accepted
-    when they describe exactly that split, and rejected loudly otherwise
-    (unequal stages would need padded per-stage layer counts)."""
+    the layer axis into EQUAL pp * virtual chunks; explicit split points
+    are accepted when they describe exactly that split, and rejected loudly
+    otherwise (unequal stages would need padded per-stage layer counts)."""
     if not split_points:
         return
+    n = pp * virtual
     pts = [int(p) for p in str(split_points).split(",") if str(p).strip()]
-    expected = [num_layers // pp * i for i in range(1, pp)]
-    if num_layers % pp != 0 or pts != expected:
+    expected = [num_layers // n * i for i in range(1, n)]
+    if num_layers % n != 0 or pts != expected:
         raise NotImplementedError(
             f"pipeline_parallel_split_points={pts}: the TPU pipeline shards "
-            f"the stacked layer axis equally; with {num_layers} layers and "
-            f"pp={pp} the only supported split is {expected}"
+            f"the stacked layer axis equally; with {num_layers} layers, "
+            f"pp={pp} and {virtual} virtual stage(s) the only supported "
+            f"split is {expected}"
         )
+
+
+def virtual_stages_of(
+    split_points: Optional[str], num_layers: int, pp: int, schedule: str
+) -> int:
+    """Virtual stages per pp rank (reference derives stage count from the
+    split-point list; Interleaved1F1B defaults to 2 per rank)."""
+    if schedule != "Interleaved1F1B":
+        return 1
+    if split_points:
+        n_stages = len(
+            [p for p in str(split_points).split(",") if str(p).strip()]
+        ) + 1
+        if n_stages % pp != 0:
+            raise NotImplementedError(
+                f"{n_stages} pipeline stages do not divide pp={pp}"
+            )
+        return max(1, n_stages // pp)
+    return 2
 
 
 def validate_pp_composition(parallel_dims, job_config=None):
@@ -194,8 +270,9 @@ def validate_pp_composition(parallel_dims, job_config=None):
     if job_config is not None:
         if job_config.training_pipeline_parallel_schedule_csv:
             raise NotImplementedError(
-                "pipeline_parallel_schedule_csv: CSV-defined schedules need "
-                "per-rank work queues; use 1F1B or GPipe"
+                "pipeline_parallel_schedule_csv: CSV-defined schedules "
+                "reorder weight- vs activation-backward, which jax autodiff "
+                f"cannot express; use one of {SUPPORTED_SCHEDULES}"
             )
         if job_config.training_pipeline_parallel_schedule not in (
             SUPPORTED_SCHEDULES
