@@ -181,7 +181,30 @@ def test_interleaved_grads_match_golden():
                                    atol=5e-4, rtol=5e-4)
 
 
-def test_interleaved_requires_m_equal_s():
+@pytest.mark.parametrize("micro", [4, 8])  # M > S: delayed-wrap ring buffer
+def test_interleaved_more_microbatches_than_stages(micro):
+    config = LlamaConfig.from_json_file(CFG)
+    config.num_hidden_layers = 4
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+    pd = ParallelDims(world_size=2, dp_replicate=1, dp_shard=1, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+    with mesh:
+        got = jax.jit(lambda p, i: pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, schedule="Interleaved1F1B",
+            n_microbatches=micro, remat_mode="none",
+        ))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_interleaved_requires_m_at_least_s():
     config = LlamaConfig.from_json_file(CFG)
     config.num_hidden_layers = 4
     params = init_params(config, jax.random.PRNGKey(0))
@@ -195,7 +218,7 @@ def test_interleaved_requires_m_equal_s():
         pipeline_forward(
             sharded, input_ids=ids, config=config, mesh=mesh,
             compute_dtype=jnp.float32, schedule="Interleaved1F1B",
-            n_microbatches=4,
+            n_microbatches=1,
         )
 
 

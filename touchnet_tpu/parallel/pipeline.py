@@ -106,14 +106,9 @@ def pipeline_apply(
     V = virtual_stages if schedule == "Interleaved1F1B" else 1
     B = h.shape[0]
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
-    if V > 1 and M != S:
-        # the single-register ppermute relay is exact only when the wrap
-        # from stage S-1 arrives the tick stage 0 needs it: m + (v-1)M +
-        # S-1 + 1 == m + vM  <=>  M == S. Larger M needs an (M-S+1)-deep
-        # activation FIFO in the scan carry — not worth the memory before
-        # someone asks for it.
+    if V > 1 and M < S:
         raise NotImplementedError(
-            f"Interleaved1F1B requires n_microbatches == pp degree "
+            f"Interleaved1F1B needs n_microbatches >= pp degree "
             f"(got M={M}, pp={S})"
         )
 
@@ -160,17 +155,31 @@ def pipeline_apply(
             fwd_perm = [(p, p + 1) for p in range(S - 1)]
         is_last = s == S - 1
 
-        def tick(recv, t):
+        # stage S-1's wrap for (m, round v) arrives at stage 0 a constant
+        # M - S ticks before stage 0 needs it; a D-slot ring buffer in the
+        # carry delays it (D = 0 collapses to the plain relay when M == S)
+        D = M_ - S if V > 1 else 0
+
+        def tick(carry, t):
+            recv, buf = carry
             # global microbatch-chunk index this stage works on at tick t
             g = jnp.clip(t - s, 0, M_ * V - 1)
             m_here = g % M_  # microbatch
             v_here = g // M_  # virtual round
             # stage 0 consumes a fresh microbatch only in round 0; in later
-            # rounds it consumes stage S-1's wrapped output
+            # rounds it consumes stage S-1's wrapped output, delayed D ticks
             mb = jax.lax.dynamic_index_in_dim(
                 h_micro, jnp.clip(t, 0, M_ - 1), axis=0, keepdims=False
             )
-            x = jnp.where((s == 0) & (t < M_), mb, recv)
+            wrapped = recv
+            if D > 0:
+                wrapped = jax.lax.dynamic_index_in_dim(
+                    buf, t % D, axis=0, keepdims=False
+                )
+                x0 = jnp.where(t < M_, mb, wrapped)
+            else:
+                x0 = jnp.where(t < M_, mb, recv)
+            x = jnp.where(s == 0, x0, recv)
             ex = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(
                     a, m_here, axis=0, keepdims=False
@@ -197,12 +206,19 @@ def pipeline_apply(
             y_out = jnp.where(
                 valid & is_last & (v_here == V - 1), y, jnp.zeros_like(y)
             )
+            if D > 0:
+                # ring write AFTER the read above: slot t%D now holds the
+                # recv of tick t, to be consumed at tick t + D
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, recv, t % D, axis=0
+                )
             recv = jax.lax.ppermute(y, "pp", fwd_perm)
-            return recv, y_out
+            return (recv, buf), y_out
 
         recv0 = jnp.zeros((b, T, E), h_micro.dtype)
+        buf0 = jnp.zeros((max(D, 1), b, T, E), h_micro.dtype)
         # scan (not fori_loop): the tick loop must be reverse-differentiable
-        _, ys = jax.lax.scan(tick, recv0, jnp.arange(M_ * V + S - 1))
+        _, ys = jax.lax.scan(tick, (recv0, buf0), jnp.arange(M_ * V + S - 1))
         # last stage emits microbatch m of the final round at tick
         # (V-1)*M + S - 1 + m; other stages contributed zeros
         start = (V - 1) * M_ + S - 1
