@@ -138,7 +138,10 @@ def main():
         attn_implementation="flash" if jax.default_backend() == "tpu" else "eager",
     )
     r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10)
-    r32k = timed_mfu(config, batch=1, seqlen=32768, iters=5)
+    try:
+        r32k = timed_mfu(config, batch=1, seqlen=32768, iters=5)
+    except Exception as e:  # noqa: BLE001 — never sink the primary metric
+        r32k = {"mfu_pct": None, "error": f"{type(e).__name__}: {e}"[:200]}
 
     result = {
         "metric": "mfu_llama500m_packed8k_1chip",
@@ -153,9 +156,7 @@ def main():
                 "metric": "mfu_llama500m_packed32k_1chip",
                 "value": r32k["mfu_pct"],
                 "unit": "%",
-                **{k: r32k[k] for k in
-                   ("tokens_per_sec_per_chip", "step_time_s",
-                    "flop_per_token_g")},
+                **{k: v for k, v in r32k.items() if k != "mfu_pct"},
             },
         },
     }
