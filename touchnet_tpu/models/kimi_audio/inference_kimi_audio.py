@@ -28,8 +28,10 @@ from touchnet_tpu.utils.inference import (
     AudioJsonlDataset,
     InferenceConfig,
     batched,
+    jnp_dtype,
     pad_right,
     part_file,
+    prefetch_map,
     write_results,
 )
 from touchnet_tpu.utils.logging import init_logger, logger
@@ -46,8 +48,9 @@ def main(argv=None):
     from touchnet_tpu.bin.convert_hf_to_ckpt import load_hf_state_dict
     from touchnet_tpu.models.kimi_audio.convert import params_from_hf_state_dict
 
+    dtype = jnp_dtype(config.model_dtype)
     params = jax.tree.map(
-        jnp.asarray, params_from_hf_state_dict(
+        lambda x: jnp.asarray(x).astype(dtype), params_from_hf_state_dict(
             model_config, load_hf_state_dict(config.model_path)
         )
     )
@@ -81,37 +84,45 @@ def main(argv=None):
         # dual stream during decode: audio stream stays blank
         return jnp.take(embed_w, toks, axis=0) + blank_emb[None]
 
-    for batch in batched(iter(dataset), config.batch_size):
-        text_ids_list, audio_ids_list, feats_list, fmask_list = [], [], [], []
-        for s in batch:
-            feats, fmask = whisper_features(s["waveform"], s["sample_rate"], n_mels)
-            n_tok = int(fmask[::2][::4].sum())
-            text_prompt = KIMI_TEXT_TEMPLATE_FOR_S2T.replace(
-                "<|INSTRUCT|>", config.instruct
-            ).replace("<|AUDIO|>", blank * n_tok)
-            audio_prompt = KIMI_AUDIO_TEMPLATE_FOR_S2T.replace(
-                "<|INSTRUCT|>", blank * len(tok(config.instruct))
-            ).replace("<|AUDIO|>", blank * n_tok)
-            text_ids_list.append(np.asarray(tok(text_prompt), np.int32))
-            audio_ids_list.append(np.asarray(tok(audio_prompt), np.int32))
-            feats_list.append(feats)
-            fmask_list.append(fmask)
+    def prepare(raw):
+        s = dataset.load(raw)
+        feats, fmask = whisper_features(s["waveform"], s["sample_rate"], n_mels)
+        n_tok = int(fmask[::2][::4].sum())
+        text_prompt = KIMI_TEXT_TEMPLATE_FOR_S2T.replace(
+            "<|INSTRUCT|>", config.instruct
+        ).replace("<|AUDIO|>", blank * n_tok)
+        audio_prompt = KIMI_AUDIO_TEMPLATE_FOR_S2T.replace(
+            "<|INSTRUCT|>", blank * len(tok(config.instruct))
+        ).replace("<|AUDIO|>", blank * n_tok)
+        return (s, np.asarray(tok(text_prompt), np.int32),
+                np.asarray(tok(audio_prompt), np.int32), feats, fmask)
+
+    stream = prefetch_map(
+        prepare, dataset.samples, config.num_workers,
+        max(config.prefetch, 1) * config.batch_size,
+    )
+    for rows in batched(stream, config.batch_size):
+        batch = [r[0] for r in rows]
+        text_ids_list = [r[1] for r in rows]
+        audio_ids_list = [r[2] for r in rows]
+        feats_list = [r[3] for r in rows]
+        fmask_list = [r[4] for r in rows]
         lens = np.asarray([len(i) for i in text_ids_list], np.int32)
         text_ids = jnp.asarray(pad_right(text_ids_list, 0))
         audio_ids = jnp.asarray(pad_right(audio_ids_list, 0))
         feats = jnp.asarray(pad_right(feats_list, 0.0)).transpose(0, 2, 1)
         fmask = jnp.asarray(pad_right(fmask_list, 0))
 
-        audio_embs = jnp.take(embed_w, audio_ids, axis=0).astype(jnp.float32)
+        audio_embs = jnp.take(embed_w, audio_ids, axis=0).astype(dtype)
         audio_embs = prepare_audio_input_embs(
             params, audio_ids, audio_embs, feats, fmask, model_config,
-            jnp.float32,
+            dtype,
         )
         prompt = audio_embs + jnp.take(embed_w, text_ids, axis=0)
         out = generate(
             lm_params, model_config.text_config, prompt, jnp.asarray(lens),
             config.max_length, eos_id=eos_id, embed_fn=embed_fn,
-            temperature=0.0,
+            temperature=0.0, compute_dtype=dtype,
         )
         for s, toks_out in zip(batch, np.asarray(out)):
             toks_out = [int(t) for t in toks_out

@@ -75,6 +75,7 @@ def forward_step(
     write_pos: Optional[jax.Array] = None,  # SCALAR cache slot override
     attn_mask: Optional[jax.Array] = None,  # [B, S] cache-slot validity
     flash_prefill: bool = False,  # Tq>1 chunk at start_pos 0: flash kernel
+    logits_indices: Optional[jax.Array] = None,  # [B] project ONLY these
 ) -> tuple:
     """Returns (logits [B, Tq, V], new_cache).
 
@@ -164,6 +165,11 @@ def forward_step(
         mp["layers"],
     )
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    if logits_indices is not None:
+        # project only the requested positions: a long prefill's full
+        # [B, Tq, V] logits would cost Tq·V·E flops and O(GB) of HBM for
+        # rows that are thrown away (the liger memory-efficiency analog)
+        h = jnp.take_along_axis(h, logits_indices[:, None, None], axis=1)
     head_w = (
         mp["embed_tokens"]["weight"]
         if config.tie_word_embeddings
@@ -243,10 +249,9 @@ def generate(
         jnp.zeros((B,), jnp.int32), config, compute_dtype,
         write_pos=jnp.asarray(0, jnp.int32),
         flash_prefill=True,
+        logits_indices=prompt_len - 1,
     )
-    last_logits = jnp.take_along_axis(
-        logits, (prompt_len - 1)[:, None, None], axis=1
-    )[:, 0]  # [B, V]
+    last_logits = logits[:, 0]  # [B, V]
 
     window = max(repetition_window, 1)
 

@@ -29,8 +29,10 @@ from touchnet_tpu.utils.inference import (
     AudioJsonlDataset,
     InferenceConfig,
     batched,
+    jnp_dtype,
     pad_right,
     part_file,
+    prefetch_map,
     write_results,
 )
 from touchnet_tpu.utils.logging import init_logger, logger
@@ -47,8 +49,9 @@ def main(argv=None):
     from touchnet_tpu.bin.convert_hf_to_ckpt import load_hf_state_dict
     from touchnet_tpu.models.qwen2_audio.convert import params_from_hf_state_dict
 
+    dtype = jnp_dtype(config.model_dtype)
     params = jax.tree.map(
-        jnp.asarray, params_from_hf_state_dict(
+        lambda x: jnp.asarray(x).astype(dtype), params_from_hf_state_dict(
             model_config, load_hf_state_dict(config.model_path)
         )
     )
@@ -59,31 +62,39 @@ def main(argv=None):
     results = []
     n_mels = model_config.audio_config.num_mel_bins
 
-    for batch in batched(iter(dataset), config.batch_size):
-        ids_list, feats_list = [], []
-        for s in batch:
-            feats, fmask = whisper_features(s["waveform"], s["sample_rate"], n_mels)
-            audio_len = int(fmask.sum())
-            n_tok = ((audio_len - 1) // 2 + 1 - 2) // 2 + 1
-            text = QWEN2_AUDIO_TEMPLATE_FOR_S2T.replace(
-                "<|INSTRUCT|>", config.instruct
-            ).replace("<|AUDIO|>", "<|AUDIO|>" * n_tok, 1)
-            ids_list.append(
-                np.asarray(tokenizer.tokenize(text, add_special_tokens=False),
-                           np.int32)
-            )
-            feats_list.append(feats)
+    def prepare(raw):
+        s = dataset.load(raw)
+        feats, fmask = whisper_features(s["waveform"], s["sample_rate"], n_mels)
+        audio_len = int(fmask.sum())
+        n_tok = ((audio_len - 1) // 2 + 1 - 2) // 2 + 1
+        text = QWEN2_AUDIO_TEMPLATE_FOR_S2T.replace(
+            "<|INSTRUCT|>", config.instruct
+        ).replace("<|AUDIO|>", "<|AUDIO|>" * n_tok, 1)
+        ids = np.asarray(
+            tokenizer.tokenize(text, add_special_tokens=False), np.int32
+        )
+        return s, ids, feats
+
+    stream = prefetch_map(
+        prepare, dataset.samples, config.num_workers,
+        max(config.prefetch, 1) * config.batch_size,
+    )
+    for triples in batched(stream, config.batch_size):
+        batch = [s for s, _, _ in triples]
+        ids_list = [i for _, i, _ in triples]
+        feats_list = [f for _, _, f in triples]
         lens = np.asarray([len(i) for i in ids_list], np.int32)
         ids = jnp.asarray(pad_right(ids_list, 0))
         feats = jnp.asarray(pad_right(feats_list, 0.0)).transpose(0, 2, 1)
         text_emb = jnp.take(embed_w, ids, axis=0)
-        audio_emb = encode_audio(params, feats, model_config, jnp.float32)
+        audio_emb = encode_audio(params, feats, model_config, dtype)
         prompt = merge_audio_into_text(
             text_emb, audio_emb, ids, model_config.audio_token_index
         )
         out = generate(
             params["language_model"], model_config.text_config, prompt,
             jnp.asarray(lens), config.max_length, eos_id=tokenizer.eos,
+            compute_dtype=dtype,
         )
         for s, toks in zip(batch, np.asarray(out)):
             toks = [int(t) for t in toks if int(t) != tokenizer.eos]

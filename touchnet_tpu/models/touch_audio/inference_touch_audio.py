@@ -25,8 +25,10 @@ from touchnet_tpu.utils.inference import (
     AudioJsonlDataset,
     InferenceConfig,
     batched,
+    jnp_dtype,
     pad_right,
     part_file,
+    prefetch_map,
     write_results,
 )
 from touchnet_tpu.utils.logging import init_logger, logger
@@ -62,8 +64,9 @@ def main(argv=None):
         config.training_model_config_path
     )
     tokenizer = build_tokenizer(tok_config)
+    dtype = jnp_dtype(config.model_dtype)
     params = load_params(config, model_config)
-    params = jax.tree.map(jnp.asarray, params)
+    params = jax.tree.map(lambda x: jnp.asarray(x).astype(dtype), params)
 
     data_config = copy.deepcopy(data_config)
     data_config.audio_speed_perturb = False
@@ -78,20 +81,31 @@ def main(argv=None):
     proj_w = params["projector"]["weight"]
     bos = tokenizer.bos
 
-    proj_np = np.asarray(proj_w)
-    bos_emb = np.asarray(embed_w)[bos][None]
-    for batch in batched(iter(dataset), config.batch_size):
-        feats = [compute_features(s, data_config) for s in batch]
+    proj_np = np.asarray(proj_w, np.float32)
+    bos_emb = np.asarray(embed_w, np.float32)[bos][None]
+
+    def prepare(raw):
+        s = dataset.load(raw)
+        f = compute_features(s, data_config)
         # per-row prompt = projected audio features followed by bos embedding
-        prompts = [
-            np.concatenate([f.astype(np.float32) @ proj_np.T, bos_emb], axis=0)
-            for f in feats
-        ]
+        prompt = np.concatenate(
+            [f.astype(np.float32) @ proj_np.T, bos_emb], axis=0
+        )
+        return s, prompt
+
+    stream = prefetch_map(
+        prepare, dataset.samples, config.num_workers,
+        max(config.prefetch, 1) * config.batch_size,
+    )
+    for pairs in batched(stream, config.batch_size):
+        batch = [s for s, _ in pairs]
+        prompts = [p for _, p in pairs]
         lens = np.asarray([p.shape[0] for p in prompts], np.int32)
         prompt = jnp.asarray(pad_right(prompts, 0.0))
         out = generate(
             params["language_model"], model_config.text_config, prompt,
             jnp.asarray(lens), config.max_length, eos_id=tokenizer.eos,
+            compute_dtype=dtype,
         )
         for s, toks in zip(batch, np.asarray(out)):
             toks = [int(t) for t in toks if int(t) != tokenizer.eos]

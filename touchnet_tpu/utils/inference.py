@@ -9,8 +9,9 @@
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Iterator, List, Optional
+from typing import Callable, Iterable, Iterator, List, Optional
 
 import numpy as np
 
@@ -23,9 +24,22 @@ class InferenceConfig:
     data_list: Optional[str] = field(default=None, metadata={"help": "jsonl path"})
     output_dir: str = field(default="./exp/inference")
     batch_size: int = field(default=8)
-    num_workers: int = field(default=2)
-    prefetch: int = field(default=2)
-    inference_enable_liger_kernel: bool = field(default=False)
+    num_workers: int = field(
+        default=2,
+        metadata={"help": "threads for wav load + feature extraction"},
+    )
+    prefetch: int = field(
+        default=2, metadata={"help": "batches prepared ahead of the TPU"}
+    )
+    inference_enable_liger_kernel: bool = field(
+        default=False,
+        metadata={"help": (
+            "accepted for recipe parity; the memory-efficient-logits "
+            "behavior liger provides is structurally always on here — "
+            "prefill projects logits only at each row's last prompt "
+            "position, never the full [B, T, V] tensor"
+        )},
+    )
     max_length: int = field(default=512)
     training_model_config_path: Optional[str] = field(default=None)
     step: int = field(default=-1)
@@ -44,12 +58,16 @@ class AudioJsonlDataset:
     def __len__(self):
         return len(self.samples)
 
-    def __iter__(self) -> Iterator[dict]:
+    @staticmethod
+    def load(s: dict) -> dict:
         from touchnet_tpu.bin.make_data import load_audio
 
+        wav = load_audio(s["wav"], 16000).astype(np.float32) / 32768.0
+        return {**s, "waveform": wav, "sample_rate": 16000}
+
+    def __iter__(self) -> Iterator[dict]:
         for s in self.samples:
-            wav = load_audio(s["wav"], 16000).astype(np.float32) / 32768.0
-            yield {**s, "waveform": wav, "sample_rate": 16000}
+            yield self.load(s)
 
 
 def batched(iterable, batch_size: int):
@@ -61,6 +79,41 @@ def batched(iterable, batch_size: int):
             buf = []
     if buf:
         yield buf
+
+
+def prefetch_map(
+    fn: Callable,
+    items: Iterable,
+    num_workers: int = 2,
+    prefetch: int = 2,
+) -> Iterator:
+    """Order-preserving threaded map with bounded lookahead — keeps
+    `prefetch` batches of CPU work (wav decode + feature extraction) in
+    flight ahead of the TPU (reference DataLoader num_workers/prefetch,
+    touchnet/utils/inference.py:74-85)."""
+    if num_workers <= 0:
+        for x in items:
+            yield fn(x)
+        return
+    it = iter(items)
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = []
+        for x in it:
+            pending.append(pool.submit(fn, x))
+            if len(pending) > max(prefetch, 1):
+                yield pending.pop(0).result()
+        for f in pending:
+            yield f.result()
+
+
+def jnp_dtype(name: str):
+    import jax.numpy as jnp
+
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "float16": jnp.float16,
+    }[name]
 
 
 def pad_right(arrays: List[np.ndarray], pad_value) -> np.ndarray:
