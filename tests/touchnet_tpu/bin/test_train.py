@@ -353,3 +353,46 @@ def test_batch_nan_guard(tmp_path):
     device_batch, ns = Trainer._put_batch(fake, batch)
     assert device_batch["input_ids"].shape == (n, 8)
     assert float(ns) == 2.0
+
+
+def test_sigterm_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-run must checkpoint at the step boundary, exit cleanly,
+    and a rerun must resume from the preemption step."""
+    import os
+    import signal
+
+    from touchnet_tpu.bin import TrainConfig
+    from touchnet_tpu.bin.train import Trainer
+    from touchnet_tpu.data import DataConfig
+    from touchnet_tpu.tokenizer import TokenizerConfig
+    from touchnet_tpu.utils.cli import parse_args_into_dataclasses
+
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=8,
+        training_enable_ckpt=True, training_ckpt_interval=100,
+    )
+    tok, data, job = parse_args_into_dataclasses(
+        [TokenizerConfig, DataConfig, TrainConfig], argv
+    )
+    t = Trainer(tok, data, job)
+    orig = t.train_step_fn
+
+    def wrapped(params, opt, batch, ns, step):
+        if step == 3:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig(params, opt, batch, ns, step)
+
+    t.train_step_fn = wrapped
+    t.train()
+    t.close()
+    assert t.step == 3  # stopped early, not at 8
+    step_dir = os.path.join(job.training_trace_dump_folder, "checkpoint")
+    assert any("step_3" in d for d in os.listdir(step_dir)), os.listdir(step_dir)
+
+    # resume: a fresh trainer must continue from step 4
+    t2 = Trainer(tok, data, job)
+    assert t2.step == 3
+    t2.train()
+    t2.close()
+    assert t2.step == 8

@@ -648,6 +648,24 @@ class Trainer:
         cfg = self.job_config
         total_steps = cfg.lr_scheduler_steps
         logger.info(f"training starts at step {self.step + 1}/{total_steps}")
+        # graceful preemption: TPU pods get SIGTERM ahead of eviction; save
+        # at the next step boundary and exit cleanly (the reference leans on
+        # torchrun elastic restarts; single-controller JAX owns this itself)
+        self._preempted = False
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+            logger.warning(
+                "SIGTERM received — will checkpoint at the next step "
+                "boundary and exit"
+            )
+
+        import signal
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (e.g. threaded tests)
+            prev_handler = None
         # step-timeout failure detector; step 1 (compile) gets the looser
         # init timeout, steady state the tight one (reference set_pg_timeouts)
         from touchnet_tpu.utils.distributed import StepWatchdog
@@ -718,12 +736,26 @@ class Trainer:
                     mem_profiler.step(self.step)
                 if saved and self.has_dev:
                     self.dev()
+                if self._preempted:
+                    if not saved and self.checkpointer.enabled:
+                        self.checkpointer.save(
+                            self.step, self.params, self.opt_state, force=True
+                        )
+                    logger.warning(
+                        f"exiting on preemption at step {self.step} "
+                        f"(checkpoint {'saved' if self.checkpointer.enabled else 'DISABLED'})"
+                    )
+                    break
 
             if last_metrics is not None:
                 host = {k: float(v) for k, v in jax.device_get(last_metrics).items()}
                 self.metrics_processor.log(self.step, host)
         watchdog.close()
         init_watchdog.close()
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
         if cfg.training_ckpt_model_weights_only and self.checkpointer.enabled:
             self.checkpointer.wait_until_finished()
             export_weights_only(
