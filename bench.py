@@ -98,11 +98,14 @@ def timed_mfu(config, batch, seqlen, iters):
 
     step, params, opt_state, db = build(config, batch, seqlen)
     params, opt_state, loss = step(params, opt_state, db)  # compile + warmup
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, db)
-    jax.block_until_ready(loss)
+    # value readback, not block_until_ready: on the tunneled backend the
+    # latter can return before while_loop-heavy programs finish; a host
+    # read of the final loss provably syncs the whole chained sequence
+    float(loss)
     dt = (time.perf_counter() - t0) / iters
     del params, opt_state, db
 
