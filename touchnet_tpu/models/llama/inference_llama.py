@@ -22,31 +22,40 @@ NEG_INF = -1e30
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, S, Hkv, Dh]
-    v: jax.Array
+    # PACKED [L, B, Hkv, S, 2*Dh]: K in lanes [0, Dh), V in lanes
+    # [Dh, 2*Dh). One buffer serves both attention matmuls, the packed
+    # width is a 128-lane multiple for common head dims (no repadding on
+    # the Pallas decode kernel's manual DMAs), and each layer does ONE
+    # in-place dynamic_update_slice per step instead of two. The kv-head
+    # dim sits outside the sequence dim so cache contractions are
+    # layout-native (ops/decode_attention.py).
+    kv: jax.Array
 
 
 def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     shape = (
-        config.num_hidden_layers, batch, max_len,
-        config.num_key_value_heads, config.head_dim,
+        config.num_hidden_layers, batch, config.num_key_value_heads,
+        max_len, 2 * config.head_dim,
     )
-    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    return KVCache(jnp.zeros(shape, dtype))
 
 
-def _cached_attention(q, k_cache, v_cache, valid_len, scale, attn_mask=None):
-    """q [B,Tq,H,D] attends cache [B,S,Hkv,D] positions < valid_len (+ its
-    own causal rows for Tq > 1 prefill). GQA-grouped: query heads fold into
-    their kv head's contraction — the cache is never repeat-expanded or
-    up-cast (a [B,S,H,D] f32 materialization would dominate decode-step
-    HBM traffic at batch > 1). attn_mask [B,S] overrides the contiguous
-    validity default (non-contiguous caches: prompt gap slots)."""
+def _cached_attention(q, kv_cache, valid_len, scale, attn_mask=None):
+    """q [B,Tq,H,D] attends the packed cache [B,Hkv,S,2D] positions <
+    valid_len (+ its own causal rows for Tq > 1 prefill). GQA-grouped:
+    query heads fold into their kv head's contraction — the cache is never
+    repeat-expanded or up-cast (a [B,S,H,D] f32 materialization would
+    dominate decode-step HBM traffic at batch > 1). attn_mask [B,S]
+    overrides the contiguous validity default (non-contiguous caches:
+    prompt gap slots)."""
     B, Tq, H, D = q.shape
-    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    Hkv, S = kv_cache.shape[1], kv_cache.shape[2]
     G = H // Hkv
+    k_cache = kv_cache[..., :D]
+    v_cache = kv_cache[..., D:]
     qg = q.reshape(B, Tq, Hkv, G, D)
     s = jnp.einsum(
-        "btkgd,bskd->bkgts", qg, k_cache,
+        "btkgd,bksd->bkgts", qg, k_cache,
         preferred_element_type=jnp.float32,
     ) * scale  # [B,Hkv,G,Tq,S] f32
     if attn_mask is None:
@@ -59,7 +68,7 @@ def _cached_attention(q, k_cache, v_cache, valid_len, scale, attn_mask=None):
     s = jnp.where(mask[:, None, None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum(
-        "bkgts,bskd->btkgd", p.astype(v_cache.dtype), v_cache
+        "bkgts,bksd->btkgd", p.astype(v_cache.dtype), v_cache
     )
     return out.reshape(B, Tq, H, D).astype(q.dtype)
 
@@ -76,6 +85,7 @@ def forward_step(
     attn_mask: Optional[jax.Array] = None,  # [B, S] cache-slot validity
     flash_prefill: bool = False,  # Tq>1 chunk at start_pos 0: flash kernel
     logits_indices: Optional[jax.Array] = None,  # [B] project ONLY these
+    decode_valid=None,  # (prompt_len [B], base, last): ragged decode mask
 ) -> tuple:
     """Returns (logits [B, Tq, V], new_cache).
 
@@ -95,15 +105,28 @@ def forward_step(
     H, Hkv, Dh = (
         config.num_attention_heads, config.num_key_value_heads, config.head_dim
     )
+    # decode validity: the Pallas flash-decode kernel consumes the scalars
+    # directly on TPU; elsewhere build the dense [B, S] mask once
+    from touchnet_tpu.ops import decode_attention as _da
+
+    use_flash_decode = (
+        decode_valid is not None and Tq == 1
+        and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
+    )
+    if decode_valid is not None and not use_flash_decode:
+        plen_, base_, last_ = decode_valid
+        cols = jnp.arange(cache.kv.shape[3], dtype=jnp.int32)[None, :]
+        attn_mask = (cols < plen_[:, None]) | (
+            (cols >= base_) & (cols <= last_)
+        )
 
     def layer(carry, lp):
         # the WHOLE cache rides the scan carry: lax.scan aliases carries in
         # place, so the per-layer dynamic_update_slice never copies the
-        # [L, B, S, Hkv, Dh] buffers (as scan xs/ys they are re-stacked —
+        # [L, B, Hkv, S, 2*Dh] buffer (as scan xs/ys it is re-stacked —
         # a full cache copy per decode step)
-        h, k_all, v_all, li = carry
-        k_cache_l = k_all[li]
-        v_cache_l = v_all[li]
+        h, kv_all, li = carry
+        kv_cache_l = kv_all[li]
         lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
         normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
         sa = lp["self_attn"]
@@ -118,25 +141,31 @@ def forward_step(
             # uniform slot: one in-place dynamic_update_slice for the batch
             def upd(cache_l, new):
                 return jax.lax.dynamic_update_slice(
-                    cache_l, new.astype(cache_l.dtype), (0, write_pos, 0, 0)
+                    cache_l, new.astype(cache_l.dtype),
+                    (0, 0, write_pos, 0),
                 )
         else:
             # per-row slots (ragged prefill): vmapped slices -> scatter
             def upd(cache_l, new):
                 return jax.vmap(
                     lambda c, n, sp: jax.lax.dynamic_update_slice(
-                        c, n.astype(c.dtype), (sp, 0, 0)
+                        c, n.astype(c.dtype), (0, sp, 0)
                     )
                 )(cache_l, new, start_pos)
-        k_cache_l = upd(k_cache_l, k)
-        v_cache_l = upd(v_cache_l, v)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k_cache_l[None], (li, 0, 0, 0, 0)
+        # pack K|V on lanes, [B, Tq, Hkv, 2D] -> cache layout [B, Hkv, Tq, 2D]
+        kv_new = jnp.concatenate([k, v], axis=-1).transpose(0, 2, 1, 3)
+        kv_cache_l = upd(kv_cache_l, kv_new)
+        kv_all = jax.lax.dynamic_update_slice(
+            kv_all, kv_cache_l[None], (li, 0, 0, 0, 0)
         )
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v_cache_l[None], (li, 0, 0, 0, 0)
-        )
-        if flash_prefill and Tq > 1:
+        if use_flash_decode:
+            from touchnet_tpu.ops.decode_attention import decode_attention
+
+            plen_, base_, last_ = decode_valid
+            attn = decode_attention(
+                q[:, 0], kv_cache_l, plen_, base_, last_, scale
+            )[:, None]
+        elif flash_prefill and Tq > 1:
             # the chunk is self-contained (start_pos 0): attend within the
             # fresh k/v via the packed flash kernel — the dense
             # [B, H, Tq, S] f32 score tensor of the eager path is
@@ -146,7 +175,7 @@ def forward_step(
             attn = flash_attention(q, k, v, causal=True, scale=scale)
         else:
             attn = _cached_attention(
-                q, k_cache_l, v_cache_l, valid_len, scale, attn_mask
+                q, kv_cache_l, valid_len, scale, attn_mask
             )
         h = h + linear(attn.reshape(B, Tq, H * Dh), sa["o_proj"]["weight"])
         normed = rms_norm(h, lp["post_attention_layernorm"]["weight"],
@@ -157,11 +186,11 @@ def forward_step(
             lp["mlp"]["up_proj"]["weight"],
             lp["mlp"]["down_proj"]["weight"],
         )
-        return (h, k_all, v_all, li + 1), None
+        return (h, kv_all, li + 1), None
 
-    (h, new_k, new_v, _), _ = jax.lax.scan(
+    (h, new_kv, _), _ = jax.lax.scan(
         layer,
-        (h, cache.k, cache.v, jnp.asarray(0, jnp.int32)),
+        (h, cache.kv, jnp.asarray(0, jnp.int32)),
         mp["layers"],
     )
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
@@ -176,7 +205,7 @@ def forward_step(
         else params["lm_head"]["weight"]
     )
     logits = linear(h, head_w.astype(compute_dtype))
-    return logits.astype(jnp.float32), KVCache(new_k, new_v)
+    return logits.astype(jnp.float32), KVCache(new_kv)
 
 
 # ---------------------------------------------------------------------------
@@ -274,13 +303,10 @@ def generate(
         # update); semantic/rope position stays the per-row prompt_len +
         # step. Validity: the row's own prompt [0, plen) plus the decoded
         # slots [Tp, Tp + step]; the gap [plen, Tp) holds prompt padding.
-        cols = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-        valid = (cols < prompt_len[:, None]) | (
-            (cols >= Tp) & (cols <= Tp + step)
-        )
         logits, cache = forward_step(
             params, emb, cache, prompt_len + step, config, compute_dtype,
-            write_pos=Tp + step, attn_mask=valid,
+            write_pos=Tp + step,
+            decode_valid=(prompt_len, Tp, Tp + step),
         )
         return step + 1, cache, logits[:, 0], out, done, recent, key
 

@@ -1,0 +1,210 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Pallas decode attention: one query step against a dense ragged KV cache.
+#
+# Capability parity: the reference delegates decoding to HF generate
+# (eager SDPA over the cache). TPU-native design in the spirit of "Ragged
+# Paged Attention" (PAPERS.md): a single-pass flash kernel over the cache
+# with per-row validity, instead of the XLA einsum path whose cache
+# streaming runs far below the bandwidth roofline at long context.
+#
+# The cache is PACKED: one [B, Hkv, S, 2D] buffer with K in lanes [0, D)
+# and V in lanes [D, 2D) (inference_llama.KVCache contract). Packing is
+# what makes the kernel bandwidth-shaped:
+#   - 2D is a lane-tile multiple for the common head dims (64, 128), so
+#     the manual block DMA needs no head-dim padding (a separate D=64
+#     cache would be repadded to 128 lanes on every step);
+#   - one DMA per sequence block moves K AND V for ALL kv heads
+#     ([Hkv, block, 2D] ~ 1 MB), so the loop amortizes DMA latency that a
+#     per-(head, block) grid pays 8x;
+#   - the query is zero-padded into the packed width: dot(q_pad, kv^T)
+#     computes q.k exactly (zero lanes kill the V half), and p @ kv
+#     leaves p.v in the V lanes of the accumulator.
+# Validity for row b: col < prompt_len[b] OR base <= col <= last (the
+# [prompt_len, base) gap holds prefill right-padding). Blocks past `last`
+# are never read (dynamic trip count). Inference only — no VJP.
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = 1.4426950408889634
+_LANE = 128
+NEG_INF = -1e30
+
+# Default OFF: on v5e through this runtime the XLA einsum over the packed
+# cache streams at ~100 GB/s while this kernel plateaus around ~70 GB/s
+# (single-core HBM streaming limit for the strided per-head access; block
+# size and DMA splitting were both swept without effect). The kernel stays
+# correct + tested as the foundation for paged/ragged serving caches where
+# the einsum path cannot follow; flip on to A/B on other generations.
+USE_FLASH_DECODE = False
+
+
+def _kernel(
+    plen_ref,  # SMEM [B] prompt lengths
+    lim_ref,   # SMEM [3] = [base, last, n_blocks]
+    q_ref, kv_any, out_ref,
+    kv_buf, m_scr, l_scr, acc_scr, sem,
+    *, scale: float, block_s: int, group: int, n_kv_heads: int,
+):
+    bi = pl.program_id(0)
+    G, Hkv = group, n_kv_heads
+    plen = plen_ref[bi]
+    base = lim_ref[0]
+    last = lim_ref[1]
+    n = lim_ref[2]
+
+    m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # split each block's copy across kv-head groups: one async_copy rides
+    # one DMA engine (~100 GB/s); parallel copies engage several engines
+    splits = min(4, Hkv)
+    hs = Hkv // splits
+
+    def dmas(slot, t):
+        return [
+            pltpu.make_async_copy(
+                kv_any.at[bi, pl.ds(i * hs, hs),
+                          pl.ds(t * block_s, block_s), :],
+                kv_buf.at[slot, pl.ds(i * hs, hs)], sem.at[slot, i],
+            )
+            for i in range(splits)
+        ]
+
+    @pl.when(n > 0)
+    def _warmup():
+        for d in dmas(0, 0):
+            d.start()
+
+    D2 = q_ref.shape[-1]
+    HG = Hkv * G
+    qs = (q_ref[0] * jnp.asarray(scale * LOG2E, q_ref.dtype)).reshape(
+        HG, D2
+    )
+    # head-of-row / head-of-col maps for the block-diagonal mask: ONE dot
+    # computes every (q-head, kv-head) product for the whole block — the
+    # off-diagonal flops are an 8x MXU overspend that costs ~nothing,
+    # while per-head [G, block] dots pay Mosaic's small-shape tax 2*Hkv
+    # times per block. Off-diagonal p is exp2(-inf) = 0, which makes the
+    # single flat pv dot sum exactly each head's own V.
+    rows_h = jax.lax.broadcasted_iota(jnp.int32, (HG, Hkv * block_s), 0) // G
+    cols_flat = jax.lax.broadcasted_iota(
+        jnp.int32, (HG, Hkv * block_s), 1
+    )
+    cols_h = cols_flat // block_s
+    cols_s = cols_flat % block_s
+    head_diag = rows_h == cols_h
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < n)
+        def _prefetch():
+            for d in dmas((t + 1) % 2, t + 1):
+                d.start()
+
+        for d in dmas(slot, t):
+            d.wait()
+        kv = kv_buf[slot].reshape(Hkv * block_s, D2)
+        s = jax.lax.dot_general(
+            qs, kv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [HG, Hkv*block_s]; V lanes of qs are zero => pure q.k
+        pos = t * block_s + cols_s
+        valid = head_diag & (
+            (pos < plen) | ((pos >= base) & (pos <= last))
+        )
+        s = jnp.where(valid, s, NEG_INF)
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+        l_scr[:] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scr.shape
+        )
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        pv = jax.lax.dot_general(
+            p.astype(kv.dtype), kv,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [HG, 2D]; V half is p.v, K half is discarded garbage
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        return _
+
+    jax.lax.fori_loop(0, n, body, None)
+
+    l = l_scr[:, :1]
+    out_ref[0] = (
+        acc_scr[:] / jnp.where(l == 0.0, 1.0, l)
+    ).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
+def decode_attention(
+    q: jax.Array,           # [B, H, D]
+    kv_cache: jax.Array,    # [B, Hkv, S, 2D] packed (K lanes, then V lanes)
+    prompt_len: jax.Array,  # [B] int32
+    base,                   # scalar: first decode slot
+    last,                   # scalar: current decode slot (inclusive)
+    scale: float = None,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash decode step over a packed ragged cache. Returns [B, H, D]."""
+    B, H, D = q.shape
+    Hkv, S = kv_cache.shape[1], kv_cache.shape[2]
+    D2 = kv_cache.shape[3]
+    assert D2 == 2 * D, (D2, D)
+    G = H // Hkv
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    assert D2 % _LANE == 0, (
+        f"packed kv width {D2} must be a {_LANE}-lane multiple"
+    )
+
+    block_s = min(block_s, -(-S // _LANE) * _LANE)
+    Sp = -(-S // block_s) * block_s
+    if Sp != S:
+        kv_cache = jnp.pad(kv_cache, [(0, 0), (0, 0), (0, Sp - S), (0, 0)])
+
+    # zero V lanes in the query: dot against packed kv then equals q.k
+    qg = jnp.pad(q.reshape(B, Hkv, G, D), [(0, 0)] * 3 + [(0, D2 - D)])
+    base = jnp.asarray(base, jnp.int32).reshape(())
+    last = jnp.asarray(last, jnp.int32).reshape(())
+    n_blocks = jnp.minimum(last, Sp - 1) // block_s + 1
+    lim = jnp.stack([base, last, n_blocks])
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, scale=scale, block_s=block_s, group=G,
+            n_kv_heads=Hkv,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D2), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, G, D2), lambda b, *_: (b, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, Hkv, block_s, D2), kv_cache.dtype),
+                pltpu.VMEM((Hkv * G, _LANE), jnp.float32),
+                pltpu.VMEM((Hkv * G, _LANE), jnp.float32),
+                pltpu.VMEM((Hkv * G, D2), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, min(4, Hkv))),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D2), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(prompt_len.astype(jnp.int32), lim, qg, kv_cache)
+    # V lanes of the accumulator hold p.v
+    return out.reshape(B, H, D2)[..., D:]
