@@ -42,7 +42,6 @@ class InferenceConfig:
     )
     max_length: int = field(default=512)
     training_model_config_path: Optional[str] = field(default=None)
-    step: int = field(default=-1)
 
 
 class AudioJsonlDataset:
