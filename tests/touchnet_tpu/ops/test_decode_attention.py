@@ -47,6 +47,34 @@ def test_decode_attention_matches_dense(D, S, base, last):
     )
 
 
+@pytest.mark.parametrize("Hkv", [1, 3, 5, 6, 7])
+def test_decode_attention_indivisible_kv_heads(Hkv):
+    """ADVICE r02 (medium): splits must DIVIDE Hkv or the trailing heads
+    attend over stale VMEM. _n_splits picks the largest divisor <= 4."""
+    from touchnet_tpu.ops.decode_attention import _n_splits
+
+    assert Hkv % _n_splits(Hkv) == 0
+    B, G, D, S = 2, 2, 64, 512
+    q, kv = make_inputs(B, Hkv * G, Hkv, D, S, seed=Hkv)
+    plen = jnp.asarray([300, 64], jnp.int32)
+    got = decode_attention(
+        q, kv, plen, 384, 400, 1.0 / 8, block_s=256, interpret=True
+    )
+    want = dense_reference(q, kv, plen, 384, 400, 1.0 / 8)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_supported_gates_odd_head_dims():
+    """ADVICE r02 (low): unsupported shapes must fall back to the einsum
+    cache path, not assert at trace time."""
+    from touchnet_tpu.ops.decode_attention import supported
+
+    assert supported(64, 8) and supported(128, 3)
+    assert not supported(80, 8) and not supported(96, 4)
+
+
 def test_decode_attention_skips_blocks_past_last():
     """Trip count covers only blocks up to `last` — cols beyond must not
     affect the result even if they hold garbage."""

@@ -52,6 +52,12 @@ class TrainConfig:
     training_trace_dump_folder: str = field(default="./exp")
     training_init_timeout_seconds: int = field(default=300)
     training_train_timeout_seconds: int = field(default=100)
+    training_abort_on_timeout: bool = field(
+        default=False,
+        metadata={"help": "kill a hung step after the timeout (exit 124) so "
+                          "bin/elastic.py can restart from the last "
+                          "checkpoint (reference: tightened PG timeouts)"},
+    )
     # --- numerics / compile ---
     training_mixed_precision_param: str = field(
         default="bfloat16", metadata={"help": "compute dtype; master params stay float32"}

@@ -70,13 +70,24 @@ _BATCH_ARRAY_KEYS = (
 
 def _assert_params_finite(params) -> None:
     """Post-init/post-load NaN/inf sweep over every float parameter leaf
-    (reference models/llama/__init__.py:33-36 raises per offending name)."""
-    bad = []
-    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
-        if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
-            continue
-        if not bool(jax.jit(lambda x: jnp.isfinite(x).all())(leaf)):
-            bad.append(jax.tree_util.keystr(path))
+    (reference models/llama/__init__.py:33-36 raises per offending name).
+    ONE jitted tree-reduce for the whole tree — a per-leaf jit would pay
+    hundreds of tiny compilations on a 7B startup path."""
+    with_path = [
+        (path, leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+    ]
+    if not with_path:
+        return
+    flags = jax.jit(
+        lambda leaves: jnp.stack([jnp.isfinite(x).all() for x in leaves])
+    )([leaf for _, leaf in with_path])
+    bad = [
+        jax.tree_util.keystr(path)
+        for (path, _), ok in zip(with_path, np.asarray(flags))
+        if not ok
+    ]
     if bad:
         raise ValueError(f"NaN/inf in model parameters: {bad[:5]}")
 
@@ -671,11 +682,35 @@ class Trainer:
         from touchnet_tpu.utils.distributed import StepWatchdog
 
         watchdog = StepWatchdog(
-            cfg.training_train_timeout_seconds, cfg.training_trace_dump_folder
+            cfg.training_train_timeout_seconds, cfg.training_trace_dump_folder,
+            abort=cfg.training_abort_on_timeout,
         )
         init_watchdog = StepWatchdog(
-            cfg.training_init_timeout_seconds, cfg.training_trace_dump_folder
+            cfg.training_init_timeout_seconds, cfg.training_trace_dump_folder,
+            abort=cfg.training_abort_on_timeout,
         )
+        try:
+            self._train_loop(cfg, total_steps, watchdog, init_watchdog)
+        finally:
+            # restore even when the loop raises (watchdog abort, data
+            # error): a leaked handler would pin this Trainer for the
+            # process lifetime and double-checkpoint on a later SIGTERM
+            watchdog.close()
+            init_watchdog.close()
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+        if cfg.training_ckpt_model_weights_only and self.checkpointer.enabled:
+            self.checkpointer.wait_until_finished()
+            export_weights_only(
+                self.params,
+                os.path.join(self.checkpointer.folder, "weights_only"),
+                cfg.training_ckpt_export_dtype,
+            )
+        self.checkpointer.wait_until_finished()
+        self.metrics_processor.close()
+        logger.info("training completed")
+
+    def _train_loop(self, cfg, total_steps, watchdog, init_watchdog):
         with maybe_enable_profiling(cfg, self.step) as profiler, \
                 maybe_enable_memory_snapshot(cfg, self.step) as mem_profiler:
             def stage(batch):
@@ -750,39 +785,47 @@ class Trainer:
             if last_metrics is not None:
                 host = {k: float(v) for k, v in jax.device_get(last_metrics).items()}
                 self.metrics_processor.log(self.step, host)
-        watchdog.close()
-        init_watchdog.close()
-        if prev_handler is not None:
-            import signal
-
-            signal.signal(signal.SIGTERM, prev_handler)
-        if cfg.training_ckpt_model_weights_only and self.checkpointer.enabled:
-            self.checkpointer.wait_until_finished()
-            export_weights_only(
-                self.params,
-                os.path.join(self.checkpointer.folder, "weights_only"),
-                cfg.training_ckpt_export_dtype,
-            )
-        self.checkpointer.wait_until_finished()
-        self.metrics_processor.close()
-        logger.info("training completed")
 
     def dev(self):
-        """Dev-set eval pass (reference Trainer.dev, train.py:588-621)."""
+        """Dev-set eval pass (reference Trainer.dev, train.py:588-621).
+
+        Multi-host: same contract as training — each process builds only
+        its own dp-rank streams (make_array_from_process_local_data needs
+        every process to contribute exactly its local shard), and loop
+        termination is agreed across processes each iteration."""
         dev_loader = GlobalBatchLoader(
             self.train_spec.build_dataloader_fn,
             self.data_config,
             self.tokenizer,
             self.parallel_dims.dp_degree,
             "dev",
+            dp_ranks=self._local_dp_ranks,
         )
         totals = {"loss_per_sample": 0.0, "loss_per_token": 0.0, "acc": 0.0}
         n = 0
-        for batch in dev_loader:
+        it = iter(dev_loader)
+        multi = jax.process_count() > 1
+        while True:
+            batch = next(it, None)
+            if multi:
+                # lockstep termination: a process whose dev streams run dry
+                # early must NOT leave the others hanging in eval_step's
+                # collectives — every process agrees on continuation first
+                from jax.experimental import multihost_utils
+
+                have = multihost_utils.process_allgather(
+                    jnp.asarray(float(batch is not None), jnp.float32)
+                ).min()
+                if have < 1.0:
+                    break
+            elif batch is None:
+                break
             device_batch, num_sentence = self._put_batch(batch)
             m = jax.device_get(
                 self.eval_step_fn(self.params, device_batch, num_sentence)
             )
+            # eval_step runs under SPMD over global arrays: each metric is
+            # the same GLOBAL scalar on every process — no further reduce
             for k in totals:
                 totals[k] += float(m[k])
             n += 1

@@ -49,6 +49,12 @@ def _cached_attention(q, kv_cache, valid_len, scale, attn_mask=None):
     overrides the contiguous validity default (non-contiguous caches:
     prompt gap slots)."""
     B, Tq, H, D = q.shape
+    if attn_mask is not None and Tq != 1:
+        # a [B, S] mask broadcast over Tq rows drops intra-chunk causality
+        raise ValueError(
+            f"attn_mask is a per-cache-slot decode mask; Tq={Tq} chunks "
+            "must use the causal valid_len path or flash_prefill"
+        )
     Hkv, S = kv_cache.shape[1], kv_cache.shape[2]
     G = H // Hkv
     k_cache = kv_cache[..., :D]
@@ -112,6 +118,7 @@ def forward_step(
     use_flash_decode = (
         decode_valid is not None and Tq == 1
         and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
+        and _da.supported(Dh, Hkv)
     )
     if decode_valid is not None and not use_flash_decode:
         plen_, base_, last_ = decode_valid

@@ -264,7 +264,8 @@ def forward(
     mp = params["model"]
     if inputs_embeds is None:
         inputs_embeds = jnp.take(
-            mp["embed_tokens"]["weight"], input_ids, axis=0
+            shard(mp["embed_tokens"]["weight"], "embed_table"),
+            input_ids, axis=0,
         )
     h = shard(inputs_embeds.astype(compute_dtype), "btd")
     B, T, _ = h.shape

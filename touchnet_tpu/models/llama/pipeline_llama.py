@@ -56,7 +56,21 @@ def pipeline_forward(
     parse_split_points(split_points, config.num_hidden_layers, S, V)
     mp = params["model"]
     if inputs_embeds is None:
-        inputs_embeds = jnp.take(mp["embed_tokens"]["weight"], input_ids, axis=0)
+        # same gather-cliff avoidance as forward(): vocab stays tp-sharded,
+        # E gathers before the take (sharding.py ACTIVATION_SPECS notes)
+        from jax.sharding import NamedSharding
+
+        from touchnet_tpu.parallel.sharding import (
+            ACTIVATION_SPECS, _shrink_spec_to_shape,
+        )
+
+        table = mp["embed_tokens"]["weight"]
+        table = jax.lax.with_sharding_constraint(
+            table, NamedSharding(mesh, _shrink_spec_to_shape(
+                ACTIVATION_SPECS["embed_table"], table.shape, mesh
+            )),
+        )
+        inputs_embeds = jnp.take(table, input_ids, axis=0)
     h = inputs_embeds.astype(compute_dtype)
     B, T, _ = h.shape
     if position_ids is None:

@@ -44,6 +44,24 @@ NEG_INF = -1e30
 USE_FLASH_DECODE = False
 
 
+def _n_splits(n_kv_heads: int) -> int:
+    """Largest divisor of Hkv that is <= 4 (DMA engines to engage). A
+    non-divisor split would leave Hkv % splits trailing heads un-DMA'd,
+    silently attending over stale VMEM."""
+    for s in (4, 3, 2):
+        if n_kv_heads % s == 0:
+            return s
+    return 1
+
+
+def supported(head_dim: int, n_kv_heads: int) -> bool:
+    """Whether the kernel's shape constraints hold: callers gate
+    use_flash_decode on this and fall back to the einsum cache path
+    rather than hitting trace-time asserts."""
+    del n_kv_heads  # any Hkv works via _n_splits
+    return (2 * head_dim) % _LANE == 0
+
+
 def _kernel(
     plen_ref,  # SMEM [B] prompt lengths
     lim_ref,   # SMEM [3] = [base, last, n_blocks]
@@ -64,7 +82,7 @@ def _kernel(
 
     # split each block's copy across kv-head groups: one async_copy rides
     # one DMA engine (~100 GB/s); parallel copies engage several engines
-    splits = min(4, Hkv)
+    splits = _n_splits(Hkv)
     hs = Hkv // splits
 
     def dmas(slot, t):
@@ -199,7 +217,7 @@ def decode_attention(
                 pltpu.VMEM((Hkv * G, _LANE), jnp.float32),
                 pltpu.VMEM((Hkv * G, _LANE), jnp.float32),
                 pltpu.VMEM((Hkv * G, D2), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, min(4, Hkv))),
+                pltpu.SemaphoreType.DMA((2, _n_splits(Hkv))),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D2), q.dtype),

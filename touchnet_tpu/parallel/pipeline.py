@@ -52,14 +52,18 @@ BATCH = ("dp_replicate", "dp_shard")
 SUPPORTED_SCHEDULES = ("1F1B", "GPipe", "Interleaved1F1B")
 
 
-def make_layer_gather(layer_specs, mesh: Mesh) -> Callable:
+def make_layer_gather(layer_specs, mesh: Mesh, keep_axes=()) -> Callable:
     """Per-layer FSDP gather for use INSIDE the pipeline's shard_map.
 
     ``layer_specs``: PartitionSpec pytree for the STACKED layer params
     (leading entry is "pp"). Returns gather(lp) for a single layer's
     (already dim-0-sliced) param pytree: all-gathers every dim that the
     spec shards on non-pp axes. The transpose (psum_scatter) returns
-    fsdp-sharded, batch-summed weight grads."""
+    fsdp-sharded, batch-summed weight grads.
+
+    ``keep_axes``: mesh axes whose shards stay LOCAL (tensor parallel —
+    the stage body computes on its own tp slice and psums the
+    row-parallel outputs instead of gathering full weights)."""
 
     def one(spec, x):
         for j, entry in enumerate(tuple(spec)[1:]):  # skip the stacked dim
@@ -67,7 +71,7 @@ def make_layer_gather(layer_specs, mesh: Mesh) -> Callable:
                 continue
             axes = tuple(
                 a for a in (entry if isinstance(entry, tuple) else (entry,))
-                if mesh.shape.get(a, 1) > 1
+                if mesh.shape.get(a, 1) > 1 and a not in keep_axes
             )
             if axes:
                 x = jax.lax.all_gather(x, axes, axis=j, tiled=True)
@@ -105,7 +109,12 @@ def pipeline_apply(
     M = n_microbatches
     V = virtual_stages if schedule == "Interleaved1F1B" else 1
     B = h.shape[0]
-    assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+    dp_total = 1
+    for a in BATCH:
+        dp_total *= mesh.shape.get(a, 1)
+    assert B % (M * dp_total) == 0, (
+        f"batch {B} must split into {M} microbatches x {dp_total} dp shards"
+    )
     if V > 1 and M < S:
         raise NotImplementedError(
             f"Interleaved1F1B needs n_microbatches >= pp degree "
@@ -130,8 +139,14 @@ def pipeline_apply(
             lambda sp: P(None, *tuple(sp)),
             layer_specs, is_leaf=lambda s: isinstance(s, P),
         )
-    h_spec = P(None, BATCH, None, None)  # [M, b, T, E]
-    extras_spec = jax.tree.map(lambda _: P(None, BATCH), extras)
+    # [B, T, E] stays sharded on its LEADING batch dim all the way into the
+    # shard_map; the microbatch split happens on the LOCAL block inside.
+    # (Reshaping [B] -> [M, b] outside would move the sharded dim from 0 to
+    # 1 — the spmd partitioner cannot re-tile that and falls back to
+    # "involuntary full rematerialization": replicate-then-repartition,
+    # a step-time cliff at scale. Round-2 VERDICT weak #1.)
+    h_spec = P(BATCH, None, None)  # [B, T, E]
+    extras_spec = jax.tree.map(lambda _: P(BATCH), extras)
 
     body = stage_fn
     if remat:
@@ -143,8 +158,15 @@ def pipeline_apply(
         out_specs=h_spec,
         check_vma=False,
     )
-    def run(layers_local, h_micro, extras_micro):
-        # h_micro: [M, b, T, E] local to this device's (dp, ...) coords
+    def run(layers_local, h_local, extras_local):
+        # h_local: [Bl, T, E] — this device's dp block; split it into M
+        # contiguous LOCAL microbatches (global microbatch m = the union of
+        # every dp shard's m-th chunk, an equally valid partition)
+        h_micro = h_local.reshape(M, h_local.shape[0] // M, *h_local.shape[1:])
+        extras_micro = jax.tree.map(
+            lambda a: a.reshape(M, a.shape[0] // M, *a.shape[1:]),
+            extras_local,
+        )
         s = jax.lax.axis_index("pp")
         M_, b, T, E = h_micro.shape
         if V > 1:
@@ -223,14 +245,11 @@ def pipeline_apply(
         # (V-1)*M + S - 1 + m; other stages contributed zeros
         start = (V - 1) * M_ + S - 1
         outs = jax.lax.slice_in_dim(ys, start, start + M_, axis=0)
-        return jax.lax.psum(outs, "pp")
+        outs = jax.lax.psum(outs, "pp")
+        # back to the [Bl, T, E] local block (inverse of the entry split)
+        return outs.reshape(M_ * b, T, E)
 
-    h_micro = h.reshape(M, B // M, *h.shape[1:])
-    extras_micro = jax.tree.map(
-        lambda a: a.reshape(M, B // M, *a.shape[1:]), extras
-    )
-    out = run(params_layers, h_micro, extras_micro)
-    return out.reshape(B, *h.shape[1:])
+    return run(params_layers, h, extras)
 
 
 def parse_split_points(

@@ -52,14 +52,18 @@ def init_distributed(job_config=None) -> None:
             f"/{jax.process_count()}"
         )
     if job_config is not None and getattr(job_config, "training_trace_buf_size", 0):
-        # XLA dump ≈ NCCL flight recorder: post-mortem compiled-graph dumps
+        # XLA dump ≈ NCCL flight recorder: post-mortem compiled-graph dumps.
+        # The knob alone enables it (no secret second env); if the backend
+        # initialized before this process saw the flag (e.g. a plugin
+        # preloads jax), warn loudly with the launcher remedy instead of
+        # silently dropping the dump.
         folder = os.path.join(
             job_config.training_trace_dump_folder, "comm_trace"
         )
-        if os.environ.get("TOUCHNET_XLA_DUMP"):
-            os.environ["XLA_FLAGS"] = (
-                os.environ.get("XLA_FLAGS", "") + f" --xla_dump_to={folder}"
-            ).strip()
+        try:
+            ensure_xla_flags(f"--xla_dump_to={folder}", "training_trace_buf_size")
+        except RuntimeError as e:
+            logger.warning(str(e))
 
 
 def xla_backend_initialized() -> bool:
@@ -117,13 +121,18 @@ class StepWatchdog:
     watchdog thread that, when a training-loop iteration exceeds the
     timeout, dumps every Python thread's stack (faulthandler) plus a loud
     error to `{dump_folder}/comm_trace/` — the flight-recorder-style
-    post-mortem — without killing the run.
+    post-mortem. With ``abort=True`` (training_abort_on_timeout) it then
+    kills the process (exit code 124), matching the reference's tightened
+    PG-timeout semantics: a hung collective terminates the job so an
+    elastic wrapper (bin/elastic.py) can restart it from the last
+    checkpoint instead of burning the reservation forever.
     """
 
-    def __init__(self, timeout_s: float, dump_folder: str):
+    def __init__(self, timeout_s: float, dump_folder: str, abort: bool = False):
         import threading
 
         self.timeout_s = timeout_s
+        self.abort = abort
         self.dump_folder = os.path.join(dump_folder, "comm_trace")
         self._deadline = None
         self._fired = False
@@ -167,6 +176,19 @@ class StepWatchdog:
                     f"train step exceeded {self.timeout_s}s "
                     f"(training_train_timeout_seconds); thread dump: {path}"
                 )
+                if self.abort:
+                    logger.error(
+                        "training_abort_on_timeout: terminating the hung "
+                        "job (exit 124) — restart via bin/elastic.py "
+                        "resumes from the last checkpoint"
+                    )
+                    # flush handlers before the hard exit; os._exit skips
+                    # atexit (the main thread is wedged in a collective and
+                    # interpreter teardown would deadlock behind it)
+                    import logging
+
+                    logging.shutdown()
+                    os._exit(124)
 
     def close(self) -> None:
         self._stop.set()
