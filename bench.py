@@ -47,7 +47,7 @@ def make_batch(batch, seqlen, vocab):
     }
 
 
-def build(config, batch, seqlen):
+def build(config, batch, seqlen, remat_mode="selective"):
     import optax
 
     from touchnet_tpu.models.llama import head_weight
@@ -67,7 +67,7 @@ def build(config, batch, seqlen):
             segment_ids=b["attention_mask"],
             position_ids=b["position_ids"],
             config=config,
-            remat_mode="selective",
+            remat_mode=remat_mode,
             block_q=1024,
             block_kv=1024,
             return_hidden=True,
@@ -89,14 +89,14 @@ def build(config, batch, seqlen):
     return step, params, opt_state, db
 
 
-def timed_mfu(config, batch, seqlen, iters):
+def timed_mfu(config, batch, seqlen, iters, remat_mode="selective"):
     from touchnet_tpu.models.llama.modeling_llama import (
         get_num_flop_per_token,
         get_num_params,
     )
     from touchnet_tpu.utils.metrics import get_peak_flops
 
-    step, params, opt_state, db = build(config, batch, seqlen)
+    step, params, opt_state, db = build(config, batch, seqlen, remat_mode)
     params, opt_state, loss = step(params, opt_state, db)  # compile + warmup
     float(loss)
     t0 = time.perf_counter()

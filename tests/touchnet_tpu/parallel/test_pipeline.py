@@ -88,6 +88,98 @@ def test_pipeline_grads_match_golden(world, dp_rep, dp_shard):
                                    atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.parametrize(
+    "tp,dp_shard,bias", [(2, 1, False), (2, 2, False), (2, 2, True)],
+)
+@pytest.mark.parametrize("micro", [None, 2])
+def test_pipeline_tp_forward_matches_golden(tp, dp_shard, bias, micro):
+    """pp x tp (x fsdp): Megatron collectives inside the stage body
+    (reference applies the TP plan per stage, bin/train.py:217-254)."""
+    config = LlamaConfig.from_json_file(CFG)
+    config.attention_bias = bias
+    params = init_params(config, jax.random.PRNGKey(0))
+    if bias:  # nonzero biases so the tp slicing is actually exercised
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, x: x + 0.1 if "bias" in str(p) else x, params
+        )
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+
+    pd = ParallelDims(
+        world_size=2 * tp * dp_shard, dp_shard=dp_shard, tp=tp, pp=2,
+    )
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh, n_microbatches=micro,
+            compute_dtype=jnp.float32, remat_mode="none",
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("dp_shard,schedule", [(2, "1F1B"), (1, "1F1B")])
+def test_pipeline_tp_grads_match_golden(dp_shard, schedule):
+    config = LlamaConfig.from_json_file(CFG)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(
+        world_size=4 * dp_shard, dp_shard=dp_shard, tp=2, pp=2
+    )
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    def loss_pp(p):
+        logits = pipeline_forward(
+            p, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="full", schedule=schedule,
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        logits = forward(p, input_ids=ids, config=config,
+                         compute_dtype=jnp.float32)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(sharded)
+    g_ref = jax.grad(loss_ref)(params)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_pp), jax.tree.leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_pipeline_tp_rejects_indivisible_heads():
+    config = LlamaConfig.from_json_file(CFG)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=8, dp_shard=1, tp=4, pp=2)
+    mesh = pd.build_mesh()
+    kv = config.num_key_value_heads
+    if kv % 4 == 0:
+        pytest.skip("config has tp-divisible kv heads")
+    with pytest.raises(NotImplementedError, match="divisible"):
+        pipeline_forward(
+            params, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32,
+        )
+
+
 def test_unsupported_schedules_raise():
     config = LlamaConfig.from_json_file(CFG)
     params = init_params(config, jax.random.PRNGKey(0))
@@ -295,6 +387,25 @@ def test_train_e2e_pipeline(tmp_path, dp_rep, dp_shard):
         training_data_parallel_shard_degree=dp_shard,
         training_data_parallel_replicate_degree=dp_rep,
         training_tensor_parallel_degree=1,
+        training_pipeline_parallel_degree=2,
+        dataset_batchsize=2,
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3
+
+
+@pytest.mark.slow
+def test_train_e2e_pipeline_tp(tmp_path):
+    """4-D layout: pp=2 x tp=2 x fsdp=2 through the full trainer."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bin"))
+    from test_train import build_corpus, make_args, run_trainer
+
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_data_parallel_shard_degree=2,
+        training_data_parallel_replicate_degree=1,
+        training_tensor_parallel_degree=2,
         training_pipeline_parallel_degree=2,
         dataset_batchsize=2,
     )

@@ -96,17 +96,47 @@ def pipeline_forward(
     layer_specs = param_shardings(
         mp["layers"], mesh, pp_param_rules(LLAMA_PARAM_RULES)
     )
-    gather = make_layer_gather(layer_specs, mesh)
+    # PP x TP (reference applies the TP plan per pipeline stage,
+    # touchnet/bin/train.py:217-254): inside the stage body the tp weight
+    # shards stay LOCAL (gather skips "tp"), each rank computes its own
+    # H/tp heads / inter/tp features, and ONE raw lax.psum over "tp" after
+    # the row-parallel projections (o_proj, down_proj — the decoder_layer
+    # shard_fn hook sits exactly there) completes the Megatron pair. AD is
+    # exact without custom_vjp: psum transposes to psum, the shard_map
+    # in-boundary psums replicated-input cotangents over "tp", and the
+    # out-boundary's 1/tp cotangent scaling cancels against the forward
+    # pp-psum's transpose — validated by the pp x tp golden-grad tests.
+    tp = mesh.shape.get("tp", 1)
+    stage_config = config
+    if tp > 1:
+        H, Hkv = config.num_attention_heads, config.num_key_value_heads
+        if H % tp or Hkv % tp:
+            raise NotImplementedError(
+                f"pp x tp needs heads divisible by tp: H={H}, Hkv={Hkv}, tp={tp}"
+            )
+        import dataclasses
+
+        stage_config = dataclasses.replace(
+            config, num_attention_heads=H // tp, num_key_value_heads=Hkv // tp
+        )
+    gather = make_layer_gather(
+        layer_specs, mesh, keep_axes=("tp",) if tp > 1 else ()
+    )
+    stage_shard_fn = (
+        (lambda a, kind: jax.lax.psum(a, "tp") if kind == "btd" else a)
+        if tp > 1
+        else (lambda a, kind: a)
+    )
 
     def stage_fn(layers_local, x, extras):
         layer = functools.partial(
             decoder_layer,
             cos_sin_posids=extras["position_ids"],
             segment_ids=extras["segment_ids"],
-            config=config,
+            config=stage_config,
             attn_fn=attn,
             inv_freq=inv_freq,
-            shard_fn=lambda a, kind: a,
+            shard_fn=stage_shard_fn,
         )
 
         def body(carry, lp):
@@ -151,6 +181,11 @@ def pp_param_rules(base_rules):
             rules.append((pat, P("pp", *entries[1:])))
         else:
             rules.append((pat, spec))
-    # catch-all for layer params the base rules miss (e.g. q/k/v biases)
+    # q/k/v biases follow their column-parallel weights: under pp x tp the
+    # stage computes on its own head slice, so the bias must be sliced too
+    from touchnet_tpu.parallel.sharding import TP_AXIS
+
+    rules.insert(0, (r".*self_attn/(q|k|v)_proj/bias", P("pp", TP_AXIS)))
+    # catch-all for layer params the base rules miss
     rules.append((r".*layers/.*", P("pp")))
     return rules

@@ -294,13 +294,11 @@ def virtual_stages_of(
 
 
 def validate_pp_composition(parallel_dims, job_config=None):
-    assert not (parallel_dims.pp_enabled and (
-        parallel_dims.tp_enabled or parallel_dims.cp_enabled
-    )), (
-        "pipeline parallel composes with dp_replicate and dp_shard (FSDP); "
-        "TP/CP inside the pipeline body requires manual collectives — use "
-        "pp x dp, or tp/cp without pp (the reference's llama recipes also "
-        "run PP with FSDP-only)"
+    assert not (parallel_dims.pp_enabled and parallel_dims.cp_enabled), (
+        "pipeline parallel composes with dp_replicate, dp_shard (FSDP) and "
+        "tp (manual Megatron collectives inside the stage body); CP's ring "
+        "attention inside the lockstep loop is not wired — use pp x dp x tp, "
+        "or cp without pp"
     )
     if job_config is not None:
         if job_config.training_pipeline_parallel_schedule_csv:
