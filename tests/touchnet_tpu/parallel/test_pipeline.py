@@ -296,6 +296,51 @@ def test_interleaved_more_microbatches_than_stages(micro):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize(
+    "micro,sched,V,layers", [(2, "1F1B", 1, 2), (8, "1F1B", 1, 2),
+                             (4, "Interleaved1F1B", 2, 4)],
+)
+def test_pipeline_tick_counts(micro, sched, V, layers):
+    """The bubble accounting in docs/parallelism.md rests on ONE structural
+    property: the tick loop is a single scan of length M*V + S - 1. Pin it
+    by inspecting the jaxpr."""
+    config = LlamaConfig.from_json_file(CFG)
+    config.num_hidden_layers = layers
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=2, dp_replicate=1, dp_shard=1, pp=2)
+    mesh = pd.build_mesh()
+    with mesh:
+        jaxpr = jax.make_jaxpr(
+            lambda p, i: pipeline_forward(
+                p, input_ids=i, config=config, mesh=mesh,
+                n_microbatches=micro, compute_dtype=jnp.float32,
+                remat_mode="none", schedule=sched,
+            )
+        )(params, ids)
+    S = 2
+    expected = micro * V + S - 1
+
+    def scan_lengths(jx, out):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "scan":
+                out.append(eqn.params["length"])
+            for v in eqn.params.values():
+                for u in (v if isinstance(v, (list, tuple)) else (v,)):
+                    inner = getattr(u, "jaxpr", u)
+                    if hasattr(inner, "eqns"):
+                        scan_lengths(inner, out)
+        return out
+
+    lengths = scan_lengths(jaxpr.jaxpr, [])
+    assert expected in lengths, (expected, lengths)
+    # ... and the tick scan is the ONLY sequential loop over microbatches
+    # (no hidden O(M) epilogue): every other scan is the layer scan
+    assert all(
+        ln == expected or ln <= config.num_hidden_layers for ln in lengths
+    ), lengths
+
+
 def test_interleaved_requires_m_at_least_s():
     config = LlamaConfig.from_json_file(CFG)
     config.num_hidden_layers = 4

@@ -20,8 +20,16 @@
 #     computes q.k exactly (zero lanes kill the V half), and p @ kv
 #     leaves p.v in the V lanes of the accumulator.
 # Validity for row b: col < prompt_len[b] OR base <= col <= last (the
-# [prompt_len, base) gap holds prefill right-padding). Blocks past `last`
-# are never read (dynamic trip count). Inference only — no VJP.
+# [prompt_len, base) gap holds prefill right-padding).
+#
+# RAGGED BLOCK TABLE: each batch row walks its OWN per-row list of live
+# blocks (bmap [B, nmax] physical block ids + nlive [B] trip counts,
+# built by live_block_map). Rows with short prompts skip the dead
+# [prompt_len, base) gap blocks entirely — zero DMA, zero compute — which
+# is what lets the kernel beat the XLA einsum path on ragged batches: the
+# einsum must stream the full dense cache every step. This is the
+# "Ragged Paged Attention" access pattern with an identity page pool
+# (block table + per-sequence lengths). Inference only — no VJP.
 
 import functools
 import math
