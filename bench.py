@@ -12,8 +12,16 @@
 # all — the full [B, T, V] fp32 logits tensor OOMs a 16 GiB chip.
 #
 # Both steps use the production training path: Pallas packed flash attention
-# (dynamic-trip kernels), selective remat saving flash residuals, and the
-# chunked fused linear+cross-entropy (parallel/loss_parallel.py).
+# (dynamic-trip kernels), the chunked fused linear+cross-entropy
+# (parallel/loss_parallel.py), and the per-seqlen best remat policy:
+# packed-8k fits the "op" policy (save dot outputs AND flash residuals —
+# backward recomputes only elementwise chains; measured +4.7pp MFU over
+# "selective" on v5e), packed-32k needs "selective" (save flash residuals
+# only) to fit 16 GiB.
+#
+# detail adds the audio story (the reference's raison d'être):
+# touch_audio packed audio-NTP MFU, the whisper-large tower step, and the
+# native-frontend loader headroom vs the chip's token consumption.
 
 import json
 import os
@@ -125,6 +133,185 @@ def timed_mfu(config, batch, seqlen, iters, remat_mode="selective"):
     }
 
 
+def timed_audio_mfu(text_config, batch, seqlen, iters, remat_mode="selective"):
+    """TouchAudio (fbank->projector->backbone) packed audio-NTP step — the
+    reference's raison d'être is audio training (docs/audio_sft_asr.md);
+    this measures the multimodal path end to end on the chip."""
+    import optax
+
+    from touchnet_tpu.models.touch_audio.configuration_touch_audio import (
+        TouchAudioConfig, TouchAudioProjectorConfig,
+    )
+    from touchnet_tpu.models.touch_audio import modeling_touch_audio as mta
+    from touchnet_tpu.parallel.loss_parallel import fused_linear_cross_entropy
+    from touchnet_tpu.utils.metrics import get_peak_flops
+
+    config = TouchAudioConfig(
+        audio_config=TouchAudioProjectorConfig(input_size=560),
+        text_config=text_config,
+    )
+    params = jax.jit(lambda k: mta.init_params(config, k))(jax.random.PRNGKey(0))
+    tx = optax.adamw(3e-4, b1=0.9, b2=0.95, weight_decay=0.1)
+    opt_state = jax.jit(tx.init)(params)
+    db = make_batch(batch, seqlen, text_config.vocab_size)
+    rng = np.random.default_rng(1)
+    db["input_features"] = jnp.asarray(
+        rng.standard_normal((batch, seqlen, 560), np.float32), jnp.bfloat16
+    )
+    num_sentence = jnp.asarray(2.0 * batch, jnp.float32)
+
+    def loss_fn(p, b):
+        hidden = mta.forward(
+            p,
+            input_ids=b["input_ids"],
+            input_features=b["input_features"],
+            segment_ids=b["attention_mask"],
+            position_ids=b["position_ids"],
+            config=config,
+            remat_mode=remat_mode,
+            return_hidden=True,
+        )
+        head_w = p["language_model"]["model"]["embed_tokens"]["weight"]
+        loss, _, _ = fused_linear_cross_entropy(
+            hidden, head_w, b["labels"], b["sentence_lens"], num_sentence,
+            chunk_size=CE_CHUNK,
+        )
+        return loss
+
+    def _step(p, s, b):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    step = jax.jit(_step, donate_argnums=(0, 1))
+    params, opt_state, loss = step(params, opt_state, db)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, db)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    del params, opt_state, db
+
+    tokens_per_sec = batch * seqlen / dt
+    fpt = mta.get_num_flop_per_token(
+        mta.get_num_params(config, exclude_embedding=True), config, seqlen
+    )
+    mfu = 100.0 * fpt * tokens_per_sec / get_peak_flops()
+    return {
+        "mfu_pct": round(mfu, 2),
+        "tokens_per_sec_per_chip": round(tokens_per_sec, 1),
+        "step_time_s": round(dt, 4),
+    }
+
+
+def timed_whisper_mfu(iters):
+    """Qwen2-Audio's whisper tower (d_model 1280 x 32 layers, the real
+    Whisper-large-v3 encoder dims): fwd+bwd over a [B, 128, 3000] mel
+    window — the audio-SFT step's second compute phase."""
+    import optax
+
+    from touchnet_tpu.models import whisper_encoder as we
+    from touchnet_tpu.utils.metrics import get_peak_flops
+
+    config = we.WhisperEncoderConfig()
+    params = jax.jit(lambda k: we.init_params(config, k))(jax.random.PRNGKey(0))
+    tx = optax.adamw(3e-4, b1=0.9, b2=0.95, weight_decay=0.1)
+    opt_state = jax.jit(tx.init)(params)
+    B, T_mel = 4, 3000
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((B, 128, T_mel), np.float32)
+    )
+
+    def loss_fn(p, f):
+        h = we.forward(p, f, config, remat_mode="full")
+        return jnp.mean(h.astype(jnp.float32) ** 2)
+
+    def _step(p, s, f):
+        loss, grads = jax.value_and_grad(loss_fn)(p, f)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    step = jax.jit(_step, donate_argnums=(0, 1))
+    params, opt_state, loss = step(params, opt_state, feats)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, feats)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    del params, opt_state
+
+    T_pos = T_mel // 2  # conv2 stride-2
+    n = we.get_num_params(config)
+    # 6N per position (fwd 2N + bwd 4N) + 12*L*D*T attention flops
+    fpt = 6 * n + 12 * config.encoder_layers * config.d_model * T_pos
+    mfu = 100.0 * fpt * (B * T_pos / dt) / get_peak_flops()
+    return {
+        "mfu_pct": round(mfu, 2),
+        "positions_per_sec": round(B * T_pos / dt, 1),
+        "step_time_s": round(dt, 4),
+        "params_m": round(n / 1e6, 1),
+    }
+
+
+def loader_headroom(model_tok_s):
+    """Native-frontend feeding rate vs the chip's consumption rate: audio
+    tokens/s one CPU worker can produce through fbank(80 mel) + 7/6
+    low-frame-rate stacking, and the resulting headroom multiple. ctypes
+    releases the GIL, so thread workers scale near-linearly."""
+    from touchnet_tpu.data.native import fbank_native, native_available
+    from touchnet_tpu.data import DataConfig
+    from touchnet_tpu.data.functions import audiofeat_stack
+
+    if not native_available():
+        return {"available": False}
+    rng = np.random.default_rng(0)
+    utt_s = 10.0
+    wav = (rng.standard_normal(int(16000 * utt_s)) * 3000).astype(np.float32)
+    cfg = DataConfig(
+        audiofeat_num_mel_bins=80, audiofeat_stack_length=7,
+        audiofeat_stride_length=6,
+    )
+    fbank_native(wav, 80, 25, 10, 0.0, 16000)  # warm the ctypes path
+    def one_utt(_):
+        feat = fbank_native(wav, 80, 25, 10, 0.0, 16000)
+        stacked = next(audiofeat_stack(
+            iter([{"audiofeat": feat, "key": "k"}]), cfg
+        ))["audiofeat"]
+        return stacked.shape[0]
+
+    def run(workers, n_utts):
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.perf_counter()
+        if workers == 1:
+            tokens = sum(one_utt(i) for i in range(n_utts))
+        else:
+            with ThreadPoolExecutor(workers) as ex:
+                tokens = sum(ex.map(one_utt, range(n_utts)))
+        return tokens / (time.perf_counter() - t0)
+
+    one_utt(0)  # warm
+    cores = os.cpu_count() or 1
+    workers = min(4, cores)
+    tok_s1 = run(1, 20)
+    tok_sw = run(workers, 20 * workers) if workers > 1 else tok_s1
+    return {
+        "available": True,
+        "loader_tokens_per_sec_1worker": round(tok_s1, 1),
+        "loader_tokens_per_sec_measured": round(tok_sw, 1),
+        "workers_measured": workers,
+        "host_cores": cores,
+        "rtf_1worker": round(tok_s1 / (16000 / 160 / 6), 1),
+        # measured on THIS host's cores; production v5e hosts expose ~24
+        # cores per chip, scaling the 1-worker rate near-linearly (ctypes
+        # releases the GIL for the whole fbank computation)
+        "headroom_x_measured": round(tok_sw / model_tok_s, 2),
+        "headroom_x_per_worker": round(tok_s1 / model_tok_s, 2),
+    }
+
+
 def main():
     from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
 
@@ -140,11 +327,27 @@ def main():
         tie_word_embeddings=True,
         attn_implementation="flash" if jax.default_backend() == "tpu" else "eager",
     )
-    r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10)
-    try:
-        r32k = timed_mfu(config, batch=1, seqlen=32768, iters=5)
-    except Exception as e:  # noqa: BLE001 — never sink the primary metric
-        r32k = {"mfu_pct": None, "error": f"{type(e).__name__}: {e}"[:200]}
+    r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10, remat_mode="op")
+
+    def secondary(fn, *args, **kw):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 — never sink the primary metric
+            return {"mfu_pct": None, "error": f"{type(e).__name__}: {e}"[:200]}
+
+    r32k = secondary(
+        timed_mfu, config, batch=1, seqlen=32768, iters=5,
+        remat_mode="selective",
+    )
+    raudio = secondary(
+        timed_audio_mfu, config, batch=1, seqlen=8192, iters=10,
+        remat_mode="op",
+    )
+    rwhisper = secondary(timed_whisper_mfu, iters=10)
+    rloader = secondary(
+        loader_headroom,
+        raudio.get("tokens_per_sec_per_chip") or r8k["tokens_per_sec_per_chip"],
+    )
 
     result = {
         "metric": "mfu_llama500m_packed8k_1chip",
@@ -161,6 +364,19 @@ def main():
                 "unit": "%",
                 **{k: v for k, v in r32k.items() if k != "mfu_pct"},
             },
+            "audio_packed8k": {
+                "metric": "mfu_touchaudio500m_packed8k_1chip",
+                "value": raudio.get("mfu_pct"),
+                "unit": "%",
+                **{k: v for k, v in raudio.items() if k != "mfu_pct"},
+            },
+            "whisper_tower": {
+                "metric": "mfu_whisper_large_encoder_1chip",
+                "value": rwhisper.get("mfu_pct"),
+                "unit": "%",
+                **{k: v for k, v in rwhisper.items() if k != "mfu_pct"},
+            },
+            "loader": rloader,
         },
     }
     print(json.dumps(result))

@@ -106,3 +106,35 @@ def test_generate_uses_packed_cache_consistently():
     )
     cache = init_cache(config, batch=3, max_len=10, dtype=jnp.float32)
     assert cache.kv.shape == (2, 3, 2, 10, 2 * config.head_dim)
+
+
+def test_live_block_map_skips_gap_blocks():
+    """Rows with short prompts must not visit the dead [plen, base) gap —
+    the read savings over the dense einsum path."""
+    from touchnet_tpu.ops.decode_attention import live_block_map
+
+    plen = jnp.asarray([100, 2048, 1], jnp.int32)
+    base, last = jnp.asarray(4096), jnp.asarray(4607)
+    bmap, nlive = live_block_map(plen, base, last, 512, 10)
+    # decode span [4096, 4607] is exactly block 8; prompts of 100/2048/1
+    # tokens cover 1/4/1 prompt blocks — gap blocks are absent
+    np.testing.assert_array_equal(np.asarray(nlive), [2, 5, 2])
+    np.testing.assert_array_equal(np.asarray(bmap[0, :2]), [0, 8])
+    np.testing.assert_array_equal(np.asarray(bmap[1, :5]), [0, 1, 2, 3, 8])
+    np.testing.assert_array_equal(np.asarray(bmap[2, :2]), [0, 8])
+
+
+def test_decode_attention_ragged_skips_are_exact():
+    """Batch with very ragged prompts: block-table result must equal the
+    dense reference bit-for-bit in masked-softmax terms."""
+    B, H, Hkv, D, S = 4, 8, 4, 128, 4096
+    q, kv = make_inputs(B, H, Hkv, D, S, seed=7)
+    plen = jnp.asarray([3000, 5, 1024, 512], jnp.int32)
+    base, last = 3584, 3600
+    got = decode_attention(
+        q, kv, plen, base, last, 1.0 / D**0.5, block_s=512, interpret=True
+    )
+    want = dense_reference(q, kv, plen, base, last, 1.0 / D**0.5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )

@@ -116,7 +116,12 @@ def _apply_remat(
                       selective-per-op "save sdpa" analog);
       selective+k   — full AC on every k-th layer only; handled at the scan
                       level by scan_layers (this wrapper is a no-op for it);
-      op            — save every no-batch-dim matmul output (more memory).
+      op            — save every no-batch-dim matmul output AND the flash
+                      residuals: the backward recomputes only elementwise
+                      chains. Fastest when activations fit (measured
+                      +4.7pp MFU over "selective" at packed-8k on v5e —
+                      "selective" re-runs the whole matmul chain, ~+2N
+                      flops/token, a 75%-of-peak ceiling).
     """
     if remat_mode == "full":
         return jax.checkpoint(body, prevent_cse=False)
@@ -131,9 +136,19 @@ def _apply_remat(
             prevent_cse=False,
         )
     if remat_mode == "op":
+        # dots AND the flash kernel's residuals: dots_with_no_batch_dims
+        # alone would re-run the flash forward kernel in the backward (the
+        # kernel output is not a dot) — measured 3pp MFU WORSE than
+        # "selective" on v5e; the union saves everything expensive and the
+        # backward recomputes only elementwise chains
         return jax.checkpoint(
             body,
-            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names(
+                    "flash_out", "flash_lse"
+                ),
+            ),
             prevent_cse=False,
         )
     return body

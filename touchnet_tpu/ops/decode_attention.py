@@ -72,7 +72,9 @@ def supported(head_dim: int, n_kv_heads: int) -> bool:
 
 def _kernel(
     plen_ref,  # SMEM [B] prompt lengths
-    lim_ref,   # SMEM [3] = [base, last, n_blocks]
+    lim_ref,   # SMEM [2] = [base, last]
+    bmap_ref,  # SMEM [B, nmax] per-row live block ids (block table)
+    nlive_ref,  # SMEM [B] per-row live block count (ragged trip count)
     q_ref, kv_any, out_ref,
     kv_buf, m_scr, l_scr, acc_scr, sem,
     *, scale: float, block_s: int, group: int, n_kv_heads: int,
@@ -82,7 +84,7 @@ def _kernel(
     plen = plen_ref[bi]
     base = lim_ref[0]
     last = lim_ref[1]
-    n = lim_ref[2]
+    n = nlive_ref[bi]
 
     m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
     l_scr[:] = jnp.zeros_like(l_scr)
@@ -94,10 +96,11 @@ def _kernel(
     hs = Hkv // splits
 
     def dmas(slot, t):
+        jb = bmap_ref[bi, t]  # physical block for this row's t-th live block
         return [
             pltpu.make_async_copy(
                 kv_any.at[bi, pl.ds(i * hs, hs),
-                          pl.ds(t * block_s, block_s), :],
+                          pl.ds(jb * block_s, block_s), :],
                 kv_buf.at[slot, pl.ds(i * hs, hs)], sem.at[slot, i],
             )
             for i in range(splits)
@@ -142,7 +145,7 @@ def _kernel(
             qs, kv, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [HG, Hkv*block_s]; V lanes of qs are zero => pure q.k
-        pos = t * block_s + cols_s
+        pos = bmap_ref[bi, t] * block_s + cols_s
         valid = head_diag & (
             (pos < plen) | ((pos >= base) & (pos <= last))
         )
@@ -169,6 +172,21 @@ def _kernel(
     out_ref[0] = (
         acc_scr[:] / jnp.where(l == 0.0, 1.0, l)
     ).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
+def live_block_map(prompt_len, base, last, block_s: int, n_blocks: int):
+    """Per-row block table: bmap [B, n_blocks] lists (ascending) the block
+    ids that intersect the row's live set [0, plen) ∪ [base, last]; nlive
+    [B] is the ragged trip count. Rows with short prompts skip their dead
+    [plen, base) gap blocks — the reads the dense einsum path cannot
+    avoid."""
+    ids = jnp.arange(n_blocks, dtype=jnp.int32)
+    lo = ids * block_s
+    hi = lo + block_s  # exclusive
+    live = (lo < prompt_len[:, None]) | ((hi > base) & (lo <= last))
+    # stable argsort on ~live packs live block ids first, in order
+    bmap = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+    return bmap, live.sum(axis=1).astype(jnp.int32)
 
 
 def decode_attention(
@@ -202,8 +220,10 @@ def decode_attention(
     qg = jnp.pad(q.reshape(B, Hkv, G, D), [(0, 0)] * 3 + [(0, D2 - D)])
     base = jnp.asarray(base, jnp.int32).reshape(())
     last = jnp.asarray(last, jnp.int32).reshape(())
-    n_blocks = jnp.minimum(last, Sp - 1) // block_s + 1
-    lim = jnp.stack([base, last, n_blocks])
+    lim = jnp.stack([base, last])
+    bmap, nlive = live_block_map(
+        prompt_len.astype(jnp.int32), base, last, block_s, Sp // block_s
+    )
 
     out = pl.pallas_call(
         functools.partial(
@@ -211,7 +231,7 @@ def decode_attention(
             n_kv_heads=Hkv,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, Hkv, G, D2), lambda b, *_: (b, 0, 0, 0)),
@@ -231,6 +251,6 @@ def decode_attention(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D2), q.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(prompt_len.astype(jnp.int32), lim, qg, kv_cache)
+    )(prompt_len.astype(jnp.int32), lim, bmap, nlive, qg, kv_cache)
     # V lanes of the accumulator hold p.v
     return out.reshape(B, H, D2)[..., D:]
