@@ -283,3 +283,83 @@ def test_num_params_formula(tiny):
         * config.speech_tokenizer_config.d_model
     )
     assert counted == expected + pos_tables, (counted, expected, pos_tables)
+
+
+def test_dual_stream_generate_text_matches_single_stream(tiny):
+    """output_type='text' dual-stream decode must reproduce the single-
+    stream ASR generate path exactly (greedy): the mimo stream never feeds
+    back when the audio token is blanked."""
+    from touchnet_tpu.models.kimi_audio.generate_kimi_audio import generate_dual
+    from touchnet_tpu.models.llama.inference_llama import generate
+
+    config, params = tiny
+    blank_id, eos_id = 7, 9
+    B, Tp = 2, 12
+    rng = np.random.default_rng(0)
+    embed_w = params["model"]["embed_tokens"]["weight"]
+    prompt_ids = jnp.asarray(
+        rng.integers(10, 90, size=(B, Tp), dtype=np.int32)
+    )
+    prompt = jnp.take(embed_w, prompt_ids, axis=0)
+    plen = jnp.asarray([Tp, Tp - 3], jnp.int32)
+
+    lm_params = {
+        "model": {
+            "embed_tokens": params["model"]["embed_tokens"],
+            "layers": params["model"]["layers"],
+            "norm": params["model"]["norm"],
+        },
+        "lm_head": params["lm_head"],
+    }
+    blank_emb = embed_w[blank_id]
+
+    def embed_fn(toks):
+        return jnp.take(embed_w, toks, axis=0) + blank_emb[None]
+
+    single = generate(
+        lm_params, config.text_config, prompt + blank_emb[None, None],
+        plen, 6, eos_id=eos_id, embed_fn=embed_fn,
+        temperature=0.0, compute_dtype=jnp.float32,
+    )
+    text, audio = generate_dual(
+        params, config, prompt + blank_emb[None, None], plen, 6,
+        blank_id=blank_id, eos_id=eos_id, output_type="text",
+        compute_dtype=jnp.float32,
+    )
+    # single-stream pads with eos after finish; dual pads with blank —
+    # compare up to each row's first eos
+    s, t = np.asarray(single), np.asarray(text)
+    for b in range(B):
+        n = (s[b] == eos_id).argmax() + 1 if (s[b] == eos_id).any() else s.shape[1]
+        np.testing.assert_array_equal(t[b, :n], s[b, :n])
+    assert (np.asarray(audio) == blank_id).all()
+
+
+def test_dual_stream_generate_audio_after_delay(tiny):
+    """output_type='both': audio stream is blank during the delay ramp and
+    sampled from the mimo head afterwards."""
+    from touchnet_tpu.models.kimi_audio.generate_kimi_audio import generate_dual
+
+    config, params = tiny
+    blank_id, eos_id = 7, 251  # eos the greedy path will rarely emit
+    B, Tp, N = 2, 8, 8
+    rng = np.random.default_rng(1)
+    embed_w = params["model"]["embed_tokens"]["weight"]
+    prompt = jnp.take(
+        embed_w,
+        jnp.asarray(rng.integers(10, 90, size=(B, Tp), dtype=np.int32)),
+        axis=0,
+    )
+    plen = jnp.asarray([Tp, Tp], jnp.int32)
+    delay = 3
+    text, audio = generate_dual(
+        params, config, prompt, plen, N,
+        blank_id=blank_id, eos_id=eos_id, output_type="both",
+        audio_delay_tokens=delay, compute_dtype=jnp.float32,
+    )
+    audio = np.asarray(audio)
+    assert (audio[:, :delay] == blank_id).all()
+    # greedy argmax over a random-init mimo head essentially never lands
+    # exactly on blank for every post-delay step
+    assert (audio[:, delay:] != blank_id).any()
+    assert np.asarray(text).shape == (B, N)

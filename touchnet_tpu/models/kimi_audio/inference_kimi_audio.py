@@ -3,8 +3,10 @@
 #
 # Capability parity: reference touchnet/models/kimi_audio/
 # inference_kimi_audio.py — dual-stream S2T prompts, whisper features,
-# custom generate (text stream decoded, audio stream held at
-# <|im_kimia_text_blank|>), part files.
+# custom generate, part files. --output_type text (default, ASR): text
+# stream decoded with the audio stream held at <|im_kimia_text_blank|>;
+# --output_type both: full dual-stream decode (generate_kimi_audio.py)
+# sampling the mimo audio head, emitting vocoder-ready VQ codes.
 
 import jax
 import jax.numpy as jnp
@@ -119,18 +121,41 @@ def main(argv=None):
             dtype,
         )
         prompt = audio_embs + jnp.take(embed_w, text_ids, axis=0)
-        out = generate(
-            lm_params, model_config.text_config, prompt, jnp.asarray(lens),
-            config.max_length, eos_id=eos_id, embed_fn=embed_fn,
-            temperature=0.0, compute_dtype=dtype,
-        )
-        for s, toks_out in zip(batch, np.asarray(out)):
+        audio_codes = None
+        if config.output_type == "both":
+            # dual-stream decode: mimo audio head sampled alongside text
+            # (reference _generate_loop; audio tokens are VQ codes offset
+            # by kimia_token_offset, vocoder-ready)
+            from touchnet_tpu.models.kimi_audio.generate_kimi_audio import (
+                generate_dual,
+            )
+
+            out, audio_out = generate_dual(
+                params, model_config, prompt, jnp.asarray(lens),
+                config.max_length, blank_id=blank_id, eos_id=eos_id,
+                output_type="both", compute_dtype=dtype,
+            )
+            audio_codes = np.asarray(audio_out)
+        else:
+            out = generate(
+                lm_params, model_config.text_config, prompt, jnp.asarray(lens),
+                config.max_length, eos_id=eos_id, embed_fn=embed_fn,
+                temperature=0.0, compute_dtype=dtype,
+            )
+        for i, (s, toks_out) in enumerate(zip(batch, np.asarray(out))):
             toks_out = [int(t) for t in toks_out
                         if int(t) not in (eos_id, blank_id)]
-            results.append({
+            row = {
                 "key": s["key"], "txt": s.get("txt", ""),
                 "hyp": tokenizer.detokenize(toks_out),
-            })
+            }
+            if audio_codes is not None:
+                off = model_config.kimia_token_offset
+                row["audio_codes"] = [
+                    int(t) - off for t in audio_codes[i]
+                    if int(t) != blank_id and int(t) >= off
+                ]
+            results.append(row)
         logger.info(f"decoded {len(results)}/{len(dataset)}")
     write_results(part_file(config.output_dir, rank), results)
     del data_config  # parsed for recipe-flag compatibility only

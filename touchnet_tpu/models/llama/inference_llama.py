@@ -103,14 +103,10 @@ def forward_step(
     mp = params["model"]
     B, Tq, _ = inputs_embeds.shape
     h = inputs_embeds.astype(compute_dtype)
-    inv_freq = rope_frequencies(config.head_dim, config.rope_theta,
-                                rope_scaling=config.rope_scaling)
     position_ids = start_pos[:, None] + jnp.arange(Tq)[None, :]
     valid_len = start_pos + Tq
     scale = 1.0 / (config.head_dim ** 0.5)
-    H, Hkv, Dh = (
-        config.num_attention_heads, config.num_key_value_heads, config.head_dim
-    )
+    Hkv, Dh = config.num_key_value_heads, config.head_dim
     # decode validity: the Pallas flash-decode kernel consumes the scalars
     # directly on TPU; elsewhere build the dense [B, S] mask once
     from touchnet_tpu.ops import decode_attention as _da
@@ -126,6 +122,48 @@ def forward_step(
         attn_mask = (cols < plen_[:, None]) | (
             (cols >= base_) & (cols <= last_)
         )
+
+    layer = make_cached_layer_fn(
+        config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
+        start_pos, use_flash_decode, decode_valid, flash_prefill,
+        compute_dtype,
+    )
+
+    (h, new_kv, _), _ = jax.lax.scan(
+        layer,
+        (h, cache.kv, jnp.asarray(0, jnp.int32)),
+        mp["layers"],
+    )
+    h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    if logits_indices is not None:
+        # project only the requested positions: a long prefill's full
+        # [B, Tq, V] logits would cost Tq·V·E flops and O(GB) of HBM for
+        # rows that are thrown away (the liger memory-efficiency analog)
+        h = jnp.take_along_axis(h, logits_indices[:, None, None], axis=1)
+    head_w = (
+        mp["embed_tokens"]["weight"]
+        if config.tie_word_embeddings
+        else params["lm_head"]["weight"]
+    )
+    logits = linear(h, head_w.astype(compute_dtype))
+    return logits.astype(jnp.float32), KVCache(new_kv)
+
+
+def make_cached_layer_fn(
+    config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
+    start_pos, use_flash_decode, decode_valid, flash_prefill, compute_dtype,
+):
+    """Scan body for one decoder layer over the shared packed cache.
+
+    Factored out of forward_step so multi-stack models (Kimi-Audio's main +
+    mimo streams, generate_kimi_audio.py) can run several layer stacks over
+    ONE [L_total, B, Hkv, S, 2D] cache: the carry's layer index `li` keeps
+    addressing cache slots across stacks."""
+    H, Hkv, Dh = (
+        config.num_attention_heads, config.num_key_value_heads, config.head_dim
+    )
+    inv_freq = rope_frequencies(config.head_dim, config.rope_theta,
+                                rope_scaling=config.rope_scaling)
 
     def layer(carry, lp):
         # the WHOLE cache rides the scan carry: lax.scan aliases carries in
@@ -195,24 +233,7 @@ def forward_step(
         )
         return (h, kv_all, li + 1), None
 
-    (h, new_kv, _), _ = jax.lax.scan(
-        layer,
-        (h, cache.kv, jnp.asarray(0, jnp.int32)),
-        mp["layers"],
-    )
-    h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
-    if logits_indices is not None:
-        # project only the requested positions: a long prefill's full
-        # [B, Tq, V] logits would cost Tq·V·E flops and O(GB) of HBM for
-        # rows that are thrown away (the liger memory-efficiency analog)
-        h = jnp.take_along_axis(h, logits_indices[:, None, None], axis=1)
-    head_w = (
-        mp["embed_tokens"]["weight"]
-        if config.tie_word_embeddings
-        else params["lm_head"]["weight"]
-    )
-    logits = linear(h, head_w.astype(compute_dtype))
-    return logits.astype(jnp.float32), KVCache(new_kv)
+    return layer
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,15 @@ class InferenceConfig:
     )
     max_length: int = field(default=512)
     training_model_config_path: Optional[str] = field(default=None)
+    output_type: str = field(
+        default="text",
+        metadata={"help": (
+            "kimi_audio only: 'text' (ASR; audio stream held at blank, "
+            "cheap single-stream decode) or 'both' (dual-stream decode — "
+            "samples the mimo audio head too and writes VQ audio codes per "
+            "utterance, reference _generate_loop semantics)"
+        )},
+    )
 
 
 class AudioJsonlDataset:
