@@ -206,8 +206,10 @@ def scan_layers(
 def _default_attn(config: LlamaConfig, block_q: int, block_kv: int) -> Callable:
     if config.attn_implementation == "eager":
         return lambda q, k, v, seg: packed_attention_reference(q, k, v, seg)
+    # "flash_static": static-grid kernel variants (A/B escape hatch)
+    dynamic = config.attn_implementation != "flash_static"
     return lambda q, k, v, seg: flash_attention(
-        q, k, v, seg, block_q=block_q, block_kv=block_kv
+        q, k, v, seg, block_q=block_q, block_kv=block_kv, dynamic=dynamic
     )
 
 

@@ -51,8 +51,10 @@ LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 _MIN_LANE = 128
 
-# dynamic-trip-count kernels are the default; the static-grid kernels remain
-# for A/B timing (set False to compare) and as a fallback
+# dynamic-trip-count kernels are the default; the static-grid kernels are
+# reachable per-call via flash_attention(dynamic=False) — exposed as
+# attn_implementation="flash_static" in the model configs — for A/B timing
+# and as a fallback if a runtime miscompiles the manual-DMA loops
 USE_DYNAMIC_KERNELS = True
 # the one-pass fused backward keeps whole-sequence dK/dV in VMEM scratch;
 # above this byte budget the split (dq + dkv) kernels run instead. The
@@ -1261,8 +1263,8 @@ def _grouped_views(q, k, v):
 
 
 def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
-                interpret, static_zero_offsets=False):
-    if USE_DYNAMIC_KERNELS:
+                interpret, static_zero_offsets=False, dynamic=None):
+    if dynamic if dynamic is not None else USE_DYNAMIC_KERNELS:
         return _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale,
                                block_q, block_kv, interpret)
     B, T, H, D = q.shape
@@ -1336,8 +1338,9 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
 
 
 def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
-                block_q, block_kv, interpret, static_zero_offsets=False):
-    if USE_DYNAMIC_KERNELS:
+                block_q, block_kv, interpret, static_zero_offsets=False,
+                dynamic=None):
+    if dynamic if dynamic is not None else USE_DYNAMIC_KERNELS:
         return _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do,
                                causal, scale, block_q, block_kv, interpret)
     B, T, H, D = q.shape
@@ -1563,20 +1566,22 @@ def _bwd_pallas_fused(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _flash_attention(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
-                     block_kv, interpret, static_zero_offsets):
+                     block_kv, interpret, static_zero_offsets, dynamic):
     out, _ = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
-                         block_q, block_kv, interpret, static_zero_offsets)
+                         block_q, block_kv, interpret, static_zero_offsets,
+                         dynamic)
     return out
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
-               interpret, static_zero_offsets):
+               interpret, static_zero_offsets, dynamic):
     from jax.ad_checkpoint import checkpoint_name
 
     out, lse = _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale,
-                           block_q, block_kv, interpret, static_zero_offsets)
+                           block_q, block_kv, interpret, static_zero_offsets,
+                           dynamic)
     # named so remat policies can SAVE the kernel's residuals and skip
     # re-running the forward attention kernel in the backward pass
     out = checkpoint_name(out, "flash_out")
@@ -1585,11 +1590,11 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
 
 
 def _flash_bwd(causal, scale, block_q, block_kv, interpret,
-               static_zero_offsets, res, g):
+               static_zero_offsets, dynamic, res, g):
     q, k, v, q_seg, kv_seg, q_off, out, lse = res
     dq, dk, dv = _bwd_pallas(
         q, k, v, q_seg, kv_seg, q_off, out, lse, g, causal, scale,
-        block_q, block_kv, interpret, static_zero_offsets,
+        block_q, block_kv, interpret, static_zero_offsets, dynamic,
     )
     return dq, dk, dv, None, None, None
 
@@ -1611,6 +1616,7 @@ def flash_attention(
     kv_segment_ids: Optional[jax.Array] = None,
     q_offset=None,
     kv_offset=None,
+    dynamic: Optional[bool] = None,
 ) -> jax.Array:
     """Packed-document flash attention.
 
@@ -1624,6 +1630,9 @@ def flash_attention(
         causal / scale / block_q / block_kv: kernel options.
         use_pallas: force the kernel path; defaults to True on TPU backends.
         interpret: run the Pallas kernel in interpreter mode (debugging).
+        dynamic: False selects the static-grid kernel variants
+            (attn_implementation="flash_static"); default follows
+            USE_DYNAMIC_KERNELS.
 
     Returns: [B, T, H, D] in q.dtype.
     """
@@ -1665,5 +1674,6 @@ def flash_attention(
     out = _flash_attention(
         qp, kp, vp, q_segp, kv_segp, q_off, causal, scale, block_q, block_kv,
         interpret, static_zero_offsets,
+        USE_DYNAMIC_KERNELS if dynamic is None else dynamic,
     )
     return out[:, :T]
