@@ -78,16 +78,25 @@ def forward_step_dual(
         and _da.supported(tc.head_dim, tc.num_key_value_heads)
     )
     attn_mask = None
+    block_map_ref = ()
     if decode_valid is not None and not use_flash_decode:
         plen_, base_, last_ = decode_valid
         cols = jnp.arange(cache.kv.shape[3], dtype=jnp.int32)[None, :]
         attn_mask = (cols < plen_[:, None]) | (
             (cols >= base_) & (cols <= last_)
         )
+    elif use_flash_decode:
+        from touchnet_tpu.models.llama.inference_llama import (
+            make_decode_block_map,
+        )
+
+        block_map_ref = (make_decode_block_map(
+            cache.kv.shape[3], *decode_valid
+        ),)
     layer = make_cached_layer_fn(
         tc, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
         start_pos, use_flash_decode, decode_valid, flash_prefill,
-        compute_dtype,
+        compute_dtype, block_map_ref,
     )
 
     L = tc.num_hidden_layers

@@ -40,6 +40,18 @@ def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     return KVCache(jnp.zeros(shape, dtype))
 
 
+def make_decode_block_map(S: int, prompt_len, base, last):
+    """Per-row live-block table for the flash decode kernel, computed ONCE
+    per decode step (one small XLA sort) — NOT per layer."""
+    from touchnet_tpu.ops.decode_attention import block_geometry, live_block_map
+
+    bs, nb = block_geometry(S)
+    return live_block_map(
+        prompt_len.astype(jnp.int32), jnp.asarray(base, jnp.int32),
+        jnp.asarray(last, jnp.int32), bs, nb,
+    )
+
+
 def _cached_attention(q, kv_cache, valid_len, scale, attn_mask=None):
     """q [B,Tq,H,D] attends the packed cache [B,Hkv,S,2D] positions <
     valid_len (+ its own causal rows for Tq > 1 prefill). GQA-grouped:
@@ -116,17 +128,22 @@ def forward_step(
         and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
         and _da.supported(Dh, Hkv)
     )
+    block_map_ref = ()
     if decode_valid is not None and not use_flash_decode:
         plen_, base_, last_ = decode_valid
         cols = jnp.arange(cache.kv.shape[3], dtype=jnp.int32)[None, :]
         attn_mask = (cols < plen_[:, None]) | (
             (cols >= base_) & (cols <= last_)
         )
+    elif use_flash_decode:
+        block_map_ref = (make_decode_block_map(
+            cache.kv.shape[3], *decode_valid
+        ),)
 
     layer = make_cached_layer_fn(
         config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
         start_pos, use_flash_decode, decode_valid, flash_prefill,
-        compute_dtype,
+        compute_dtype, block_map_ref,
     )
 
     (h, new_kv, _), _ = jax.lax.scan(
@@ -152,6 +169,7 @@ def forward_step(
 def make_cached_layer_fn(
     config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
     start_pos, use_flash_decode, decode_valid, flash_prefill, compute_dtype,
+    block_map_ref=(),  # [(bmap, nlive)] precomputed once per decode step
 ):
     """Scan body for one decoder layer over the shared packed cache.
 
@@ -207,8 +225,17 @@ def make_cached_layer_fn(
             from touchnet_tpu.ops.decode_attention import decode_attention
 
             plen_, base_, last_ = decode_valid
+            bmap_nlive = (
+                block_map_ref[0] if block_map_ref
+                # fallback: per-call map (one XLA sort per LAYER — callers
+                # should precompute via make_decode_block_map instead)
+                else make_decode_block_map(
+                    kv_cache_l.shape[2], plen_, base_, last_
+                )
+            )
             attn = decode_attention(
-                q[:, 0], kv_cache_l, plen_, base_, last_, scale
+                q[:, 0], kv_cache_l, plen_, base_, last_, scale,
+                block_map=bmap_nlive,
             )[:, None]
         elif flash_prefill and Tq > 1:
             # the chunk is self-contained (start_pos 0): attend within the

@@ -174,6 +174,14 @@ def _kernel(
     ).reshape(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
+def block_geometry(S: int, block_s: int = 512):
+    """(effective block size, padded block count) for a cache of length S —
+    callers precomputing a block map must mirror decode_attention's
+    padding."""
+    bs = min(block_s, -(-S // _LANE) * _LANE)
+    return bs, -(-S // bs)
+
+
 def live_block_map(prompt_len, base, last, block_s: int, n_blocks: int):
     """Per-row block table: bmap [B, n_blocks] lists (ascending) the block
     ids that intersect the row's live set [0, plen) ∪ [base, last]; nlive
@@ -184,8 +192,15 @@ def live_block_map(prompt_len, base, last, block_s: int, n_blocks: int):
     lo = ids * block_s
     hi = lo + block_s  # exclusive
     live = (lo < prompt_len[:, None]) | ((hi > base) & (lo <= last))
-    # stable argsort on ~live packs live block ids first, in order
-    bmap = jnp.argsort(~live, axis=1, stable=True).astype(jnp.int32)
+    # sort-free compaction (an XLA sort on TPU costs more than the decode
+    # kernel itself): live block i lands at slot cumsum(live)-1 — build the
+    # [B, nb, nb] one-hot of that placement and contract with the block ids
+    pos = jnp.cumsum(live.astype(jnp.int32), axis=1) - 1  # [B, nb]
+    slots = jnp.arange(n_blocks, dtype=jnp.int32)
+    onehot = (pos[:, :, None] == slots[None, None, :]) & live[:, :, None]
+    bmap = jnp.einsum(
+        "bis,i->bs", onehot.astype(jnp.int32), ids
+    ).astype(jnp.int32)
     return bmap, live.sum(axis=1).astype(jnp.int32)
 
 
@@ -198,8 +213,13 @@ def decode_attention(
     scale: float = None,
     block_s: int = 512,
     interpret: bool = False,
+    block_map=None,  # optional precomputed (bmap, nlive) from live_block_map
 ) -> jax.Array:
-    """Flash decode step over a packed ragged cache. Returns [B, H, D]."""
+    """Flash decode step over a packed ragged cache. Returns [B, H, D].
+
+    ``block_map``: pass live_block_map(...) computed ONCE per decode step —
+    computing it here is correct but runs an XLA sort per LAYER (the layer
+    scan re-traces this call), which costs more than the kernel itself."""
     B, H, D = q.shape
     Hkv, S = kv_cache.shape[1], kv_cache.shape[2]
     D2 = kv_cache.shape[3]
@@ -221,9 +241,13 @@ def decode_attention(
     base = jnp.asarray(base, jnp.int32).reshape(())
     last = jnp.asarray(last, jnp.int32).reshape(())
     lim = jnp.stack([base, last])
-    bmap, nlive = live_block_map(
-        prompt_len.astype(jnp.int32), base, last, block_s, Sp // block_s
-    )
+    if block_map is not None:
+        bmap, nlive = block_map
+        assert bmap.shape == (B, Sp // block_s), (bmap.shape, B, Sp // block_s)
+    else:
+        bmap, nlive = live_block_map(
+            prompt_len.astype(jnp.int32), base, last, block_s, Sp // block_s
+        )
 
     out = pl.pallas_call(
         functools.partial(
