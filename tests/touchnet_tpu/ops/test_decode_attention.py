@@ -104,8 +104,12 @@ def test_generate_uses_packed_cache_consistently():
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         attn_implementation="eager",
     )
+    from touchnet_tpu.ops.decode_attention import DECODE_BLOCK
+
     cache = init_cache(config, batch=3, max_len=10, dtype=jnp.float32)
-    assert cache.kv.shape == (2, 3, 2, 10, 2 * config.head_dim)
+    # capacity rounds up to the decode kernel block so the hot path never
+    # pad-copies the cache
+    assert cache.kv.shape == (2, 3, 2, DECODE_BLOCK, 2 * config.head_dim)
 
 
 def test_live_block_map_skips_gap_blocks():

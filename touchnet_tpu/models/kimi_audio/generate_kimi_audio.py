@@ -40,8 +40,11 @@ class SamplerSettings(NamedTuple):
 
 def init_dual_cache(config: KimiAudioConfig, batch: int, max_len: int,
                     dtype=jnp.bfloat16) -> KVCache:
+    from touchnet_tpu.ops.decode_attention import DECODE_BLOCK
+
     tc = config.text_config
     layers = tc.num_hidden_layers + config.kimia_mimo_layers
+    max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK  # see init_cache
     shape = (layers, batch, tc.num_key_value_heads, max_len, 2 * tc.head_dim)
     return KVCache(jnp.zeros(shape, dtype))
 

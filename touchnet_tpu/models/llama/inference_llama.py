@@ -33,6 +33,14 @@ class KVCache(NamedTuple):
 
 
 def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    from touchnet_tpu.ops.decode_attention import DECODE_BLOCK
+
+    # round the sequence capacity up to the decode kernel's block size:
+    # a non-multiple cache would be jnp.pad-COPIED per layer per step
+    # inside decode_attention (the whole-cache copy costs more than the
+    # kernel). The extra slots are never valid (masks/base/last bound
+    # reads); the einsum path just carries <= 3% more masked columns.
+    max_len = -(-max_len // DECODE_BLOCK) * DECODE_BLOCK
     shape = (
         config.num_hidden_layers, batch, config.num_key_value_heads,
         max_len, 2 * config.head_dim,

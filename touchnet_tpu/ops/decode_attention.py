@@ -51,6 +51,10 @@ NEG_INF = -1e30
 # the einsum path cannot follow; flip on to A/B on other generations.
 USE_FLASH_DECODE = False
 
+# decode kernel sequence-block size; cache allocations round up to it so
+# the kernel's manual DMAs never need a padded cache copy
+DECODE_BLOCK = 512
+
 
 def _n_splits(n_kv_heads: int) -> int:
     """Largest divisor of Hkv that is <= 4 (DMA engines to engage). A
@@ -234,6 +238,10 @@ def decode_attention(
     block_s = min(block_s, -(-S // _LANE) * _LANE)
     Sp = -(-S // block_s) * block_s
     if Sp != S:
+        # correctness fallback ONLY: this copies the WHOLE cache every
+        # layer every step (measured: it single-handedly turned a 5x
+        # kernel win into a loss). init_cache rounds max_len up to
+        # DECODE_BLOCK so production callers never hit it.
         kv_cache = jnp.pad(kv_cache, [(0, 0), (0, 0), (0, Sp - S), (0, 0)])
 
     # zero V lanes in the query: dot against packed kv then equals q.k
