@@ -79,6 +79,7 @@ def forward_step_dual(
         decode_valid is not None and Tq == 1
         and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
         and _da.supported(tc.head_dim, tc.num_key_value_heads)
+        and cache.kv.shape[3] >= _da.FLASH_DECODE_MIN_CONTEXT
     )
     attn_mask = None
     block_map_ref = ()

@@ -135,6 +135,7 @@ def forward_step(
         decode_valid is not None and Tq == 1
         and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
         and _da.supported(Dh, Hkv)
+        and cache.kv.shape[3] >= _da.FLASH_DECODE_MIN_CONTEXT
     )
     block_map_ref = ()
     if decode_valid is not None and not use_flash_decode:

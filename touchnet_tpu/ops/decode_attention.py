@@ -43,13 +43,17 @@ LOG2E = 1.4426950408889634
 _LANE = 128
 NEG_INF = -1e30
 
-# Default OFF: on v5e through this runtime the XLA einsum over the packed
-# cache streams at ~100 GB/s while this kernel plateaus around ~70 GB/s
-# (single-core HBM streaming limit for the strided per-head access; block
-# size and DMA splitting were both swept without effect). The kernel stays
-# correct + tested as the foundation for paged/ragged serving caches where
-# the einsum path cannot follow; flip on to A/B on other generations.
-USE_FLASH_DECODE = False
+# Default ON for long caches (measured on v5e, 535M model, ragged
+# prompts, e2e generate):
+#   B=32 8k ctx: flash 249.1 tok/s vs einsum 240.3 (+20-25%/decode step)
+#   B=8  8k ctx: flash 245.4 vs einsum 230.7
+#   B=8  2k ctx: flash 1025  vs einsum 1173  -> einsum below the threshold
+# Op-level micro at B=32/8k: kernel 1.16 ms vs einsum 6.25 ms (5.4x) —
+# the per-row block table skips each row's dead [plen, base) gap blocks,
+# which the dense einsum must stream every step. Short caches don't
+# amortize the kernel's launch/DMA overheads; the einsum path keeps them.
+USE_FLASH_DECODE = True
+FLASH_DECODE_MIN_CONTEXT = 4096
 
 # decode kernel sequence-block size; cache allocations round up to it so
 # the kernel's manual DMAs never need a padded cache copy
