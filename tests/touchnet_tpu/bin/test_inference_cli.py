@@ -199,3 +199,58 @@ def test_inference_kimi_audio_e2e(tmp_path, monkeypatch):
     results = [json.loads(l) for l in open(out_dir / "part_0")]
     assert len(results) == 2
     assert all("hyp" in r for r in results)
+
+
+@pytest.mark.slow
+def test_inference_kimi_audio_dual_stream_e2e(tmp_path, monkeypatch):
+    """--output_type both: dual-stream decode emits per-utterance VQ audio
+    codes alongside the transcription."""
+    safetensors = pytest.importorskip("safetensors.numpy")
+    import touchnet_tpu.models.kimi_audio.inference_kimi_audio as binary
+    from tests.touchnet_tpu.models.test_kimi_audio import TINY
+    from touchnet_tpu.models.kimi_audio.configuration_kimi_audio import (
+        KimiAudioConfig,
+    )
+    from touchnet_tpu.models.kimi_audio.convert import params_to_hf_state_dict
+    from touchnet_tpu.models.kimi_audio.modeling_kimi_audio import init_params
+
+    tiny = json.loads(json.dumps(TINY))
+    tiny["speech_encoder_config"]["max_source_positions"] = 1500
+    tiny["speech_tokenizer_config"]["max_source_positions"] = 1500
+    config = KimiAudioConfig.from_dict(tiny)
+    cfg_json = tmp_path / "config.json"
+    cfg_json.write_text(json.dumps(tiny))
+    model_dir = _hf_dir(tmp_path, config, init_params,
+                        params_to_hf_state_dict, safetensors)
+    jsonl = _write_wav_jsonl(tmp_path)
+
+    fake = _FakeTok(
+        pinned={
+            "<|im_media_begin|>": TINY["kimia_media_begin"],
+            "<|im_media_end|>": TINY["kimia_media_end"],
+        },
+        limit=64,
+    )
+    monkeypatch.setattr(binary, "build_tokenizer", lambda cfg: fake)
+
+    out_dir = tmp_path / "out"
+    binary.main([
+        "--model_path", str(model_dir),
+        "--training_model_config_path", str(cfg_json),
+        "--data_list", str(jsonl),
+        "--output_dir", str(out_dir),
+        "--batch_size", "2",
+        "--max_length", "8",
+        "--output_type", "both",
+        "--num_workers", "2",
+        "--tokenizer_type", "RawTokenizer",
+        "--tokenizer_raw_vocab_size", "64",
+    ])
+    results = [json.loads(l) for l in open(out_dir / "part_0")]
+    assert len(results) == 2
+    for r in results:
+        assert "hyp" in r and "audio_codes" in r
+        # VQ codes are de-offset: all within the speech-tokenizer vocab
+        assert all(
+            0 <= c < config.text_config.vocab_size for c in r["audio_codes"]
+        )
