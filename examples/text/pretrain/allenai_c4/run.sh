@@ -96,7 +96,12 @@ fi
 
 if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
   echo "$0: stage 2: train"
+  # elastic wrapper (reference: torchrun --max-restarts): a crashed or
+  # watchdog-aborted (training_abort_on_timeout, exit 124) run restarts
+  # and resumes from the latest checkpoint (training_ckpt_load_step=-1)
+  python -m touchnet_tpu.bin.elastic --max-restarts 3 -- \
   python -m touchnet_tpu.bin.train \
+    --training_abort_on_timeout true \
     --tokenizer_model "${pretrained_tokenizer_dir}" \
     --tokenizer_type "HuggingFaceTokenizer" \
     --datapipe_type "causal_lm" \
