@@ -191,3 +191,38 @@ def test_watchdog_disarm_prevents_dump(tmp_path):
     wd.close()
     folder = tmp_path / "comm_trace"
     assert not folder.exists() or not list(folder.glob("stuck_step_*"))
+
+
+@pytest.mark.parametrize("option", ["op", "2", "3"])
+def test_op_hybrid_ac_same_logits_and_grads(option):
+    """remat mode 'op' with int k (hybrid: op-save k-1 of every k layers,
+    full-remat the k-th) must be numerically identical to no-remat."""
+    import jax
+
+    from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+    from touchnet_tpu.models.llama.modeling_llama import forward, init_params
+
+    config = LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=5, num_attention_heads=4, num_key_value_heads=2,
+        attn_implementation="eager",
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = np.random.default_rng(1).integers(0, 64, size=(2, 16)).astype(np.int32)
+
+    def loss(p, mode, opt):
+        logits = forward(
+            p, input_ids=jnp.asarray(ids), config=config,
+            compute_dtype=jnp.float32, remat_mode=mode, selective_ac_option=opt,
+        )
+        return jnp.sum(logits * logits), logits
+
+    (_, ref_logits), ref_grads = jax.value_and_grad(
+        lambda p: loss(p, "none", "op"), has_aux=True
+    )(params)
+    (_, got_logits), got_grads = jax.value_and_grad(
+        lambda p: loss(p, "op", option), has_aux=True
+    )(params)
+    np.testing.assert_allclose(got_logits, ref_logits, rtol=1e-4, atol=1e-6)
+    for g, r in zip(jax.tree.leaves(got_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(g, r, rtol=1e-3, atol=1e-5)

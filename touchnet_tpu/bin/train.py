@@ -468,7 +468,9 @@ class Trainer:
             remat_mode=cfg.training_activation_checkpoint_mode,
             shard_fn=shard_fn,
         )
-        if cfg.training_activation_checkpoint_mode == "selective":
+        if cfg.training_activation_checkpoint_mode in ("selective", "op"):
+            # "op" + int k = hybrid: op-save k-1 of every k layers,
+            # full-remat the k-th (long-context memory dial)
             kwargs["selective_ac_option"] = (
                 cfg.training_activation_checkpoint_selective_ac_option
             )

@@ -90,8 +90,10 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 
 def _selective_layer_freq(remat_mode: str, selective_ac_option: str) -> int:
-    """k for every-k-th-layer AC, or 0 when the mode/option doesn't use it."""
-    if remat_mode != "selective":
+    """k for every-k-th-layer AC, or 0 when the mode/option doesn't use it.
+    Applies to "selective" (reference semantics) and "op" (hybrid: op-save
+    k-1 of every k layers, full-remat the k-th)."""
+    if remat_mode not in ("selective", "op"):
         return 0
     try:
         k = int(selective_ac_option)
@@ -169,6 +171,11 @@ def scan_layers(
     wraps layers with idx % k == 0 only) the scan runs over groups of k
     layers; the first layer of each group is rematted, the rest store their
     residuals — reproducing the reference's memory/recompute trade.
+
+    Hybrid for long context: mode "op" with an int option k full-remats
+    every k-th layer and op-saves the other k-1 — a memory dial between
+    "full" (75%-of-peak remat ceiling) and "op" (fastest, most memory):
+    saved-activation footprint scales by (k-1)/k.
     """
     k = _selective_layer_freq(remat_mode, selective_ac_option)
     if k <= 1:
@@ -178,6 +185,9 @@ def scan_layers(
         return jax.lax.scan(wrapped, h, stacked_layers)[0]
 
     ckpt_body = jax.checkpoint(body, prevent_cse=False)
+    # "selective"+k keeps reference semantics (non-ckpt layers store ALL
+    # residuals); "op"+k stores only dots + flash residuals on them
+    rest_body = _apply_remat(body, "op") if remat_mode == "op" else body
     num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
     groups, rem = divmod(num_layers, k)
 
@@ -192,13 +202,13 @@ def scan_layers(
 
         def group_body(carry, gp):
             for j in range(k):
-                fn = ckpt_body if j == 0 else body
+                fn = ckpt_body if j == 0 else rest_body
                 carry, _ = fn(carry, take(gp, j))
             return carry, None
 
         h = jax.lax.scan(group_body, h, grouped)[0]
     for i in range(rem):
-        fn = ckpt_body if i == 0 else body
+        fn = ckpt_body if i == 0 else rest_body
         h, _ = fn(h, take(stacked_layers, groups * k + i))
     return h
 
