@@ -479,3 +479,27 @@ def test_train_e2e_interleaved(tmp_path):
     )
     trainer = run_trainer(argv)
     assert trainer.step == 3
+
+
+def test_interleaved_tp_forward_matches_golden():
+    """Interleaved1F1B x TP x FSDP on 8 devices: virtual stages + Megatron
+    stage-body collectives compose."""
+    config = LlamaConfig.from_json_file(CFG)
+    config.num_hidden_layers = 4
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+    pd = ParallelDims(world_size=8, dp_shard=2, tp=2, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+    with mesh:
+        got = jax.jit(lambda p, i: pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, schedule="Interleaved1F1B",
+            remat_mode="none",
+        ))(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
