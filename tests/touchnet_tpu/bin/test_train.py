@@ -396,3 +396,17 @@ def test_sigterm_preemption_checkpoint_and_resume(tmp_path):
     t2.train()
     t2.close()
     assert t2.step == 8
+
+
+@pytest.mark.slow
+def test_train_e2e_op_hybrid_remat(tmp_path):
+    """Trainer path with mode 'op' + int k (hybrid: op-save k-1 of every
+    k layers, full-remat the k-th) runs end to end."""
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_activation_checkpoint_mode="op",
+        training_activation_checkpoint_selective_ac_option="2",
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3
