@@ -60,6 +60,11 @@ def main(argv=None):
         [InferenceConfig, DataConfig, TokenizerConfig], argv
     )
     init_logger()
+    if config.output_type != "text":
+        raise ValueError(
+            "output_type='both' is a Kimi-Audio dual-stream feature; this "
+            "model has no audio head"
+        )
     model_config = TouchAudioConfig.from_json_file(
         config.training_model_config_path
     )
