@@ -193,10 +193,11 @@ def test_watchdog_disarm_prevents_dump(tmp_path):
     assert not folder.exists() or not list(folder.glob("stuck_step_*"))
 
 
-@pytest.mark.parametrize("option", ["op", "2", "3"])
+@pytest.mark.parametrize("option", ["op", "2", "full_every_2", "full_every_3"])
 def test_op_hybrid_ac_same_logits_and_grads(option):
-    """remat mode 'op' with int k (hybrid: op-save k-1 of every k layers,
-    full-remat the k-th) must be numerically identical to no-remat."""
+    """remat mode 'op': pure (option 'op' or an ignored bare int — mode op
+    alone must mean the pure policy) and the explicit full_every_<k>
+    hybrid must all be numerically identical to no-remat."""
     import jax
 
     from touchnet_tpu.models.llama.configuration_llama import LlamaConfig

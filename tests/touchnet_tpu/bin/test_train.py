@@ -406,7 +406,7 @@ def test_train_e2e_op_hybrid_remat(tmp_path):
     argv = make_args(
         tmp_path, listfile, steps=3,
         training_activation_checkpoint_mode="op",
-        training_activation_checkpoint_selective_ac_option="2",
+        training_activation_checkpoint_selective_ac_option="full_every_2",
     )
     trainer = run_trainer(argv)
     assert trainer.step == 3

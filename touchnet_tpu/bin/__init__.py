@@ -90,7 +90,12 @@ class TrainConfig:
                           "activations fit — +4.7pp MFU at packed-8k/v5e)"},
     )
     training_activation_checkpoint_selective_ac_option: str = field(
-        default="2", metadata={"help": "int k = remat every k-th layer, or 'op'"}
+        default="2",
+        metadata={"help": "mode selective: int k = remat every k-th layer, "
+                          "or 'op'; mode op: 'full_every_<k>' = hybrid "
+                          "(op-save k-1 of every k layers) — a bare int is "
+                          "ignored under mode op so that mode op alone "
+                          "means the pure policy"},
     )
     # --- parallelism degrees ---
     training_data_parallel_replicate_degree: int = field(default=1)
@@ -171,16 +176,18 @@ class TrainConfig:
             val = getattr(self, name)
             if val not in allowed:
                 raise ValueError(f"{name}={val!r}; must be one of {allowed}")
-        opt = self.training_activation_checkpoint_selective_ac_option
+        opt = str(self.training_activation_checkpoint_selective_ac_option)
         if opt != "op":
+            body = opt[len("full_every_"):] if opt.startswith("full_every_") else opt
             try:
-                ok = int(opt) >= 1
+                ok = int(body) >= 1
             except (TypeError, ValueError):
                 ok = False
             if not ok:
                 raise ValueError(
                     "training_activation_checkpoint_selective_ac_option "
-                    f"must be 'op' or a positive int, got {opt!r}"
+                    "must be 'op', a positive int, or 'full_every_<k>', "
+                    f"got {opt!r}"
                 )
 
 

@@ -29,10 +29,18 @@ def run_elastic(cmd, max_restarts: int = 3, backoff_s: float = 5.0) -> int:
     which ends the loop without a restart)."""
     attempt = 0
     child = None
+    interrupted = False
 
     def forward(signum, frame):
+        nonlocal interrupted
+        # operator-initiated stop: forward to the child (SIGTERM triggers
+        # the trainer's graceful step-boundary checkpoint) and do NOT
+        # restart afterwards — Ctrl+C must stop the job, not respawn it
+        interrupted = True
         if child is not None and child.poll() is None:
-            child.send_signal(signum)
+            child.send_signal(
+                signal.SIGTERM if signum == signal.SIGINT else signum
+            )
 
     prev = {}
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -52,6 +60,9 @@ def run_elastic(cmd, max_restarts: int = 3, backoff_s: float = 5.0) -> int:
             rc = child.wait()
             if rc == 0:
                 return 0
+            if interrupted:
+                logger.warning(f"elastic: stopped by signal (child rc={rc})")
+                return rc
             logger.error(f"elastic: train exited rc={rc}")
             if attempt >= max_restarts:
                 logger.error("elastic: restart budget exhausted")

@@ -687,9 +687,14 @@ class Trainer:
             cfg.training_train_timeout_seconds, cfg.training_trace_dump_folder,
             abort=cfg.training_abort_on_timeout,
         )
+        # the INIT watchdog never aborts: step 1 includes the XLA compile,
+        # and a deterministically slow compile would otherwise become an
+        # abort->restart->same-compile crash loop under bin/elastic.py.
+        # This matches the reference, which tightens PG timeouts only
+        # AFTER the first step (set_pg_timeouts, distributed.py:399-423).
         init_watchdog = StepWatchdog(
             cfg.training_init_timeout_seconds, cfg.training_trace_dump_folder,
-            abort=cfg.training_abort_on_timeout,
+            abort=False,
         )
         try:
             self._train_loop(cfg, total_steps, watchdog, init_watchdog)

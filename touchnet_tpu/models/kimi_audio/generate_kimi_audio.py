@@ -73,30 +73,13 @@ def forward_step_dual(
     position_ids = start_pos[:, None] + jnp.arange(Tq)[None, :]
     valid_len = start_pos + Tq
     scale = 1.0 / (tc.head_dim ** 0.5)
-    from touchnet_tpu.ops import decode_attention as _da
-
-    use_flash_decode = (
-        decode_valid is not None and Tq == 1
-        and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
-        and _da.supported(tc.head_dim, tc.num_key_value_heads)
-        and cache.kv.shape[3] >= _da.FLASH_DECODE_MIN_CONTEXT
+    from touchnet_tpu.models.llama.inference_llama import (
+        decode_attention_setup,
     )
-    attn_mask = None
-    block_map_ref = ()
-    if decode_valid is not None and not use_flash_decode:
-        plen_, base_, last_ = decode_valid
-        cols = jnp.arange(cache.kv.shape[3], dtype=jnp.int32)[None, :]
-        attn_mask = (cols < plen_[:, None]) | (
-            (cols >= base_) & (cols <= last_)
-        )
-    elif use_flash_decode:
-        from touchnet_tpu.models.llama.inference_llama import (
-            make_decode_block_map,
-        )
 
-        block_map_ref = (make_decode_block_map(
-            cache.kv.shape[3], *decode_valid
-        ),)
+    use_flash_decode, attn_mask, block_map_ref = decode_attention_setup(
+        tc, cache, Tq, decode_valid
+    )
     layer = make_cached_layer_fn(
         tc, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
         start_pos, use_flash_decode, decode_valid, flash_prefill,

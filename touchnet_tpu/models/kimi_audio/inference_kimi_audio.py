@@ -44,6 +44,11 @@ def main(argv=None):
         [InferenceConfig, DataConfig, TokenizerConfig], argv
     )
     init_logger()
+    if config.output_type not in ("text", "both"):
+        raise ValueError(
+            f"output_type={config.output_type!r}: must be 'text' (ASR) or "
+            "'both' (dual-stream with VQ audio codes)"
+        )
     model_config = KimiAudioConfig.from_json_file(config.training_model_config_path)
     tokenizer = build_tokenizer(tok_config)
 

@@ -48,6 +48,34 @@ def init_cache(config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     return KVCache(jnp.zeros(shape, dtype))
 
 
+def decode_attention_setup(config, cache, Tq: int, decode_valid, attn_mask=None):
+    """Shared decode gating for every model's cached step: decides
+    flash-kernel vs einsum (shape support + measured context threshold),
+    builds the dense [B, S] validity mask for the einsum path, and
+    precomputes the per-row block map ONCE per step for the kernel path.
+    Returns (use_flash_decode, attn_mask, block_map_ref)."""
+    from touchnet_tpu.ops import decode_attention as _da
+
+    use_flash_decode = (
+        decode_valid is not None and Tq == 1
+        and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
+        and _da.supported(config.head_dim, config.num_key_value_heads)
+        and cache.kv.shape[3] >= _da.FLASH_DECODE_MIN_CONTEXT
+    )
+    block_map_ref = ()
+    if decode_valid is not None and not use_flash_decode:
+        plen_, base_, last_ = decode_valid
+        cols = jnp.arange(cache.kv.shape[3], dtype=jnp.int32)[None, :]
+        attn_mask = (cols < plen_[:, None]) | (
+            (cols >= base_) & (cols <= last_)
+        )
+    elif use_flash_decode:
+        block_map_ref = (make_decode_block_map(
+            cache.kv.shape[3], *decode_valid
+        ),)
+    return use_flash_decode, attn_mask, block_map_ref
+
+
 def make_decode_block_map(S: int, prompt_len, base, last):
     """Per-row live-block table for the flash decode kernel, computed ONCE
     per decode step (one small XLA sort) — NOT per layer."""
@@ -126,28 +154,9 @@ def forward_step(
     position_ids = start_pos[:, None] + jnp.arange(Tq)[None, :]
     valid_len = start_pos + Tq
     scale = 1.0 / (config.head_dim ** 0.5)
-    Hkv, Dh = config.num_key_value_heads, config.head_dim
-    # decode validity: the Pallas flash-decode kernel consumes the scalars
-    # directly on TPU; elsewhere build the dense [B, S] mask once
-    from touchnet_tpu.ops import decode_attention as _da
-
-    use_flash_decode = (
-        decode_valid is not None and Tq == 1
-        and jax.default_backend() == "tpu" and _da.USE_FLASH_DECODE
-        and _da.supported(Dh, Hkv)
-        and cache.kv.shape[3] >= _da.FLASH_DECODE_MIN_CONTEXT
+    use_flash_decode, attn_mask, block_map_ref = decode_attention_setup(
+        config, cache, Tq, decode_valid, attn_mask
     )
-    block_map_ref = ()
-    if decode_valid is not None and not use_flash_decode:
-        plen_, base_, last_ = decode_valid
-        cols = jnp.arange(cache.kv.shape[3], dtype=jnp.int32)[None, :]
-        attn_mask = (cols < plen_[:, None]) | (
-            (cols >= base_) & (cols <= last_)
-        )
-    elif use_flash_decode:
-        block_map_ref = (make_decode_block_map(
-            cache.kv.shape[3], *decode_valid
-        ),)
 
     layer = make_cached_layer_fn(
         config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,

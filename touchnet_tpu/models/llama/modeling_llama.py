@@ -91,10 +91,28 @@ def init_params(config: LlamaConfig, key: jax.Array, dtype=jnp.float32) -> dict:
 
 def _selective_layer_freq(remat_mode: str, selective_ac_option: str) -> int:
     """k for every-k-th-layer AC, or 0 when the mode/option doesn't use it.
-    Applies to "selective" (reference semantics) and "op" (hybrid: op-save
-    k-1 of every k layers, full-remat the k-th)."""
-    if remat_mode not in ("selective", "op"):
+
+    mode "selective": an int option is the reference's every-k-th-layer
+    wrap. mode "op": the hybrid (op-save k-1 of every k layers, full-remat
+    the k-th) requires the EXPLICIT form "full_every_<k>" — a bare int is
+    ignored there because the config option defaults to "2" for
+    selective's sake, and mode "op" alone must mean the pure (fastest)
+    policy the bench measures."""
+    opt = str(selective_ac_option)
+    if remat_mode == "op":
+        if opt.startswith("full_every_"):
+            k = int(opt[len("full_every_"):])
+            if k < 1:
+                raise ValueError(f"full_every_<k> needs k >= 1, got {k}")
+            return k
         return 0
+    if remat_mode != "selective":
+        return 0
+    if opt.startswith("full_every_"):
+        raise ValueError(
+            "selective_ac_option 'full_every_<k>' applies to mode 'op' "
+            "(the op/full hybrid); mode 'selective' takes an int or 'op'"
+        )
     try:
         k = int(selective_ac_option)
     except (TypeError, ValueError):

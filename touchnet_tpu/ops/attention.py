@@ -1264,7 +1264,7 @@ def _grouped_views(q, k, v):
 
 def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
                 interpret, static_zero_offsets=False, dynamic=None):
-    if dynamic if dynamic is not None else USE_DYNAMIC_KERNELS:
+    if USE_DYNAMIC_KERNELS if dynamic is None else dynamic:
         return _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale,
                                block_q, block_kv, interpret)
     B, T, H, D = q.shape
@@ -1340,7 +1340,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
 def _bwd_pallas(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal, scale,
                 block_q, block_kv, interpret, static_zero_offsets=False,
                 dynamic=None):
-    if dynamic if dynamic is not None else USE_DYNAMIC_KERNELS:
+    if USE_DYNAMIC_KERNELS if dynamic is None else dynamic:
         return _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do,
                                causal, scale, block_q, block_kv, interpret)
     B, T, H, D = q.shape

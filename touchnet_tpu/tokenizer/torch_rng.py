@@ -32,15 +32,16 @@ _LOWER = 0x7FFFFFFF
 
 
 def _normal_fill_16(d: np.ndarray) -> None:
-    """In-place Box-Muller over one 16-slot chunk (torch normal_fill_16):
-    uniforms in [j]/[j+8] become radius*cos -> [j], radius*sin -> [j+8]."""
-    for j in range(8):
-        u1 = np.float32(1.0) - d[j]
-        u2 = d[j + 8]
-        radius = np.float32(np.sqrt(np.float32(-2.0) * np.log(u1)))
-        theta = np.float32(2.0 * np.pi) * u2
-        d[j] = radius * np.cos(theta)
-        d[j + 8] = radius * np.sin(theta)
+    """In-place Box-Muller over [m, 16] chunks (torch normal_fill_16):
+    uniforms in [:, j]/[:, j+8] become radius*cos -> [:, j], radius*sin ->
+    [:, j+8]. All float32 ufuncs — numpy's f32 loops are the same code
+    path for scalars and arrays, so vectorizing is bit-preserving."""
+    u1 = np.float32(1.0) - d[:, :8]
+    u2 = d[:, 8:]
+    radius = np.sqrt(np.float32(-2.0) * np.log(u1))
+    theta = np.float32(2.0 * np.pi) * u2
+    d[:, :8] = radius * np.cos(theta)
+    d[:, 8:] = radius * np.sin(theta)
 
 
 class TorchCpuGenerator:
@@ -56,13 +57,34 @@ class TorchCpuGenerator:
         self._normal_cache = None  # next_double_normal_sample
 
     def _twist(self):
+        # vectorized MT19937 twist with in-place read-after-write
+        # semantics preserved: s[i] = s[(i+M)%N] ^ twist(s[i], s[i+1]),
+        # where reads past the end see THIS round's fresh values. Segments
+        # are ordered so every s[(i+M)%N] read is already final:
+        #   [0, N-M): reads s[i+M] — old values;
+        #   [N-M, N-1) in stride-(N-M) chunks: reads s[i+M-N], written by
+        #     an earlier segment/chunk this round;
+        #   N-1: scalar (reads fresh s[0] and fresh s[M-1]).
         s = self.state
-        for i in range(_N):
-            y = (int(s[i]) & _UPPER) | (int(s[(i + 1) % _N]) & _LOWER)
-            nxt = int(s[(i + _M) % _N]) ^ (y >> 1)
-            if y & 1:
-                nxt ^= _MATRIX_A
-            s[i] = nxt
+
+        def seg(lo, hi, src):
+            y = (s[lo:hi] & _UPPER) | (s[lo + 1:hi + 1] & _LOWER)
+            s[lo:hi] = src ^ (y >> np.uint64(1)) ^ np.where(
+                (y & np.uint64(1)).astype(bool),
+                np.uint64(_MATRIX_A), np.uint64(0),
+            )
+
+        seg(0, _N - _M, s[_M:_N].copy())
+        lo = _N - _M
+        while lo < _N - 1:
+            hi = min(lo + (_N - _M), _N - 1)
+            seg(lo, hi, s[lo + _M - _N:hi + _M - _N].copy())
+            lo = hi
+        y = (int(s[_N - 1]) & _UPPER) | (int(s[0]) & _LOWER)
+        nxt = int(s[_M - 1]) ^ (y >> 1)
+        if y & 1:
+            nxt ^= _MATRIX_A
+        s[_N - 1] = nxt
         self.pos = 0
 
     def u32(self) -> int:
@@ -76,6 +98,28 @@ class TorchCpuGenerator:
         y ^= y >> 18
         return y & 0xFFFFFFFF
 
+    def u32_array(self, n: int) -> np.ndarray:
+        """n tempered outputs, vectorized (the per-element Python loop
+        costs ~0.3 s / 100k draws — a large codebook init would take tens
+        of seconds per dataloader worker). Tempering vectorizes over the
+        whole block; the twist stays a (cheap, 624-step) scalar loop."""
+        out = np.empty(n, np.uint64)
+        filled = 0
+        while filled < n:
+            if self.pos >= _N:
+                self._twist()
+            take = min(n - filled, _N - self.pos)
+            y = self.state[self.pos:self.pos + take].copy()
+            self.pos += take
+            y ^= y >> 11
+            y ^= (y << 7) & 0x9D2C5680
+            y ^= (y << 15) & 0xEFC60000
+            y &= 0xFFFFFFFF  # the shifts above may carry past 32 bits
+            y ^= y >> 18
+            out[filled:filled + take] = y & 0xFFFFFFFF
+            filled += take
+        return out
+
     # -- ATen distribution semantics ------------------------------------
     def uniform_float(self, n: int, lo: float, hi: float) -> np.ndarray:
         """float32 tensor.uniform_(lo, hi): one u32 per element. The final
@@ -83,13 +127,11 @@ class TorchCpuGenerator:
         compiled kernel (verified empirically: 24/24 bit-match with FMA,
         12/24 with two roundings) — emulated via double intermediate +
         one final float32 round."""
-        out = np.empty(n, np.float32)
         lo32 = np.float32(lo)
         span = np.float64(np.float32(np.float32(hi) - lo32))
-        for i in range(n):
-            x = (self.u32() & ((1 << 24) - 1)) * (2.0 ** -24)  # exact in f32
-            out[i] = np.float32(x * span + np.float64(lo32))
-        return out
+        x = (self.u32_array(n) & ((1 << 24) - 1)).astype(np.float64)
+        x *= 2.0 ** -24  # exact in f32 (24-bit int * 2^-24)
+        return (x * span + np.float64(lo32)).astype(np.float32)
 
     def _uniform_double(self) -> float:
         hi = self.u32()
@@ -114,14 +156,14 @@ class TorchCpuGenerator:
         by test instead."""
         if n >= 16:
             data = self.uniform_float(n, 0.0, 1.0)
-            i = 0
-            while i + 16 <= n:
-                _normal_fill_16(data[i:i + 16])
-                i += 16
+            m = n // 16
+            chunks = data[: m * 16].reshape(m, 16)
+            _normal_fill_16(chunks)  # vectorized over all whole chunks
+            data[: m * 16] = chunks.reshape(-1)
             if n % 16:
-                tail = self.uniform_float(16, 0.0, 1.0)
+                tail = self.uniform_float(16, 0.0, 1.0).reshape(1, 16)
                 _normal_fill_16(tail)
-                data[n - 16:] = tail
+                data[n - 16:] = tail.reshape(-1)
             if mean != 0.0 or std != 1.0:
                 data = data * np.float32(std) + np.float32(mean)
             return data
