@@ -410,3 +410,18 @@ def test_train_e2e_op_hybrid_remat(tmp_path):
     )
     trainer = run_trainer(argv)
     assert trainer.step == 3
+
+
+@pytest.mark.slow
+def test_train_e2e_op_every_hybrid_remat(tmp_path):
+    """Trainer path with mode 'selective' + 'op_every_<k>' (hybrid: op-save
+    every k-th layer, selective-save the rest — the long-context memory
+    dial) runs end to end through the scan-of-scans group body."""
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_activation_checkpoint_mode="selective",
+        training_activation_checkpoint_selective_ac_option="op_every_2",
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3

@@ -92,10 +92,13 @@ class TrainConfig:
     training_activation_checkpoint_selective_ac_option: str = field(
         default="2",
         metadata={"help": "mode selective: int k = remat every k-th layer, "
-                          "or 'op'; mode op: 'full_every_<k>' = hybrid "
-                          "(op-save k-1 of every k layers) — a bare int is "
-                          "ignored under mode op so that mode op alone "
-                          "means the pure policy"},
+                          "'op', or 'op_every_<k>' = hybrid (op-save every "
+                          "k-th layer, selective-save the rest — the "
+                          "long-context dial between selective and op); "
+                          "mode op: 'full_every_<k>' = hybrid (op-save k-1 "
+                          "of every k layers) — a bare int is ignored under "
+                          "mode op so that mode op alone means the pure "
+                          "policy"},
     )
     # --- parallelism degrees ---
     training_data_parallel_replicate_degree: int = field(default=1)
@@ -178,7 +181,11 @@ class TrainConfig:
                 raise ValueError(f"{name}={val!r}; must be one of {allowed}")
         opt = str(self.training_activation_checkpoint_selective_ac_option)
         if opt != "op":
-            body = opt[len("full_every_"):] if opt.startswith("full_every_") else opt
+            body = opt
+            for prefix in ("full_every_", "op_every_"):
+                if opt.startswith(prefix):
+                    body = opt[len(prefix):]
+                    break
             try:
                 ok = int(body) >= 1
             except (TypeError, ValueError):
@@ -186,8 +193,8 @@ class TrainConfig:
             if not ok:
                 raise ValueError(
                     "training_activation_checkpoint_selective_ac_option "
-                    "must be 'op', a positive int, or 'full_every_<k>', "
-                    f"got {opt!r}"
+                    "must be 'op', a positive int, 'full_every_<k>', or "
+                    f"'op_every_<k>', got {opt!r}"
                 )
 
 

@@ -93,7 +93,10 @@ def _selective_layer_freq(remat_mode: str, selective_ac_option: str) -> int:
     """k for every-k-th-layer AC, or 0 when the mode/option doesn't use it.
 
     mode "selective": an int option is the reference's every-k-th-layer
-    wrap. mode "op": the hybrid (op-save k-1 of every k layers, full-remat
+    wrap; "op_every_<k>" is the long-context hybrid (op-save every k-th
+    layer, selective-save the rest — a memory dial BETWEEN selective and
+    op: +saved-dots/k footprint, -matmul-recompute/k).
+    mode "op": the hybrid (op-save k-1 of every k layers, full-remat
     the k-th) requires the EXPLICIT form "full_every_<k>" — a bare int is
     ignored there because the config option defaults to "2" for
     selective's sake, and mode "op" alone must mean the pure (fastest)
@@ -111,8 +114,14 @@ def _selective_layer_freq(remat_mode: str, selective_ac_option: str) -> int:
     if opt.startswith("full_every_"):
         raise ValueError(
             "selective_ac_option 'full_every_<k>' applies to mode 'op' "
-            "(the op/full hybrid); mode 'selective' takes an int or 'op'"
+            "(the op/full hybrid); mode 'selective' takes an int, "
+            "'op_every_<k>', or 'op'"
         )
+    if opt.startswith("op_every_"):
+        k = int(opt[len("op_every_"):])
+        if k < 1:
+            raise ValueError(f"op_every_<k> needs k >= 1, got {k}")
+        return k
     try:
         k = int(selective_ac_option)
     except (TypeError, ValueError):
@@ -190,43 +199,60 @@ def scan_layers(
     layers; the first layer of each group is rematted, the rest store their
     residuals — reproducing the reference's memory/recompute trade.
 
-    Hybrid for long context: mode "op" with an int option k full-remats
-    every k-th layer and op-saves the other k-1 — a memory dial between
-    "full" (75%-of-peak remat ceiling) and "op" (fastest, most memory):
-    saved-activation footprint scales by (k-1)/k.
+    Hybrids for long context (every-k-th-layer mixes):
+      mode "op" + "full_every_<k>": full-remat every k-th layer, op-save
+        the other k-1 — between "full" and "op"; saved footprint scales
+        by (k-1)/k of op's.
+      mode "selective" + "op_every_<k>": op-save every k-th layer,
+        selective-save the rest — between "selective" and "op"; adds
+        ~saved-dots/k footprint and removes the matmul-chain recompute on
+        1/k of the layers.
+
+    The k-group runs as a scan-of-scans (one first layer + an inner scan
+    over the k-1 rest layers), so the traced graph holds two layer bodies
+    regardless of k — a k-unrolled group body inflates the lowered module
+    past the compile helper's host memory at 32k (docs/performance.md).
     """
     k = _selective_layer_freq(remat_mode, selective_ac_option)
     if k <= 1:
-        wrapped = _apply_remat(
-            body, remat_mode if k != 1 else "full", selective_ac_option
-        )
+        mode = remat_mode
+        if k == 1:
+            opt = str(selective_ac_option)
+            mode = "op" if opt.startswith("op_every_") else "full"
+        wrapped = _apply_remat(body, mode, selective_ac_option)
         return jax.lax.scan(wrapped, h, stacked_layers)[0]
 
-    ckpt_body = jax.checkpoint(body, prevent_cse=False)
-    # "selective"+k keeps reference semantics (non-ckpt layers store ALL
-    # residuals); "op"+k stores only dots + flash residuals on them
-    rest_body = _apply_remat(body, "op") if remat_mode == "op" else body
+    if remat_mode == "selective" and str(selective_ac_option).startswith(
+        "op_every_"
+    ):
+        first_body = _apply_remat(body, "op")
+        rest_body = _apply_remat(body, "selective", "op")
+    else:
+        first_body = jax.checkpoint(body, prevent_cse=False)
+        # "selective"+k keeps reference semantics (non-ckpt layers store
+        # ALL residuals); "op"+k stores only dots + flash residuals
+        rest_body = _apply_remat(body, "op") if remat_mode == "op" else body
     num_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
     groups, rem = divmod(num_layers, k)
 
     def take(tree, idx):
         return jax.tree.map(lambda x: x[idx], tree)
 
+    def group_body(carry, gp):
+        carry, _ = first_body(carry, take(gp, 0))
+        if k > 1:
+            rest = jax.tree.map(lambda x: x[1:], gp)
+            carry = jax.lax.scan(rest_body, carry, rest)[0]
+        return carry, None
+
     if groups:
         grouped = jax.tree.map(
             lambda x: x[: groups * k].reshape(groups, k, *x.shape[1:]),
             stacked_layers,
         )
-
-        def group_body(carry, gp):
-            for j in range(k):
-                fn = ckpt_body if j == 0 else rest_body
-                carry, _ = fn(carry, take(gp, j))
-            return carry, None
-
         h = jax.lax.scan(group_body, h, grouped)[0]
     for i in range(rem):
-        fn = ckpt_body if i == 0 else rest_body
+        fn = first_body if i == 0 else rest_body
         h, _ = fn(h, take(stacked_layers, groups * k + i))
     return h
 
