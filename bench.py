@@ -55,7 +55,7 @@ def make_batch(batch, seqlen, vocab):
     }
 
 
-def build(config, batch, seqlen, remat_mode="selective"):
+def build(config, batch, seqlen, remat_mode="selective", ac_option="op"):
     import optax
 
     from touchnet_tpu.models.llama import head_weight
@@ -76,6 +76,7 @@ def build(config, batch, seqlen, remat_mode="selective"):
             position_ids=b["position_ids"],
             config=config,
             remat_mode=remat_mode,
+            selective_ac_option=ac_option,
             block_q=1024,
             block_kv=1024,
             return_hidden=True,
@@ -97,14 +98,14 @@ def build(config, batch, seqlen, remat_mode="selective"):
     return step, params, opt_state, db
 
 
-def timed_mfu(config, batch, seqlen, iters, remat_mode="selective"):
+def timed_mfu(config, batch, seqlen, iters, remat_mode="selective", ac_option="op"):
     from touchnet_tpu.models.llama.modeling_llama import (
         get_num_flop_per_token,
         get_num_params,
     )
     from touchnet_tpu.utils.metrics import get_peak_flops
 
-    step, params, opt_state, db = build(config, batch, seqlen, remat_mode)
+    step, params, opt_state, db = build(config, batch, seqlen, remat_mode, ac_option)
     params, opt_state, loss = step(params, opt_state, db)  # compile + warmup
     float(loss)
     t0 = time.perf_counter()

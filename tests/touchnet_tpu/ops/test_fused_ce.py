@@ -1,0 +1,117 @@
+# Copyright (c) 2026 touchnet_tpu authors.
+# Numerics for the fused lm-head + CE Pallas kernel (ops/fused_ce.py):
+# interpret-mode kernel vs the dense XLA oracle, values and gradients —
+# the TPU analog of liger's fused-linear-CE correctness suite
+# (reference touchnet/bin/train.py:443-445 swaps in liger's Triton kernel).
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from touchnet_tpu.ops import fused_ce
+
+
+def _make(N, E, V, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(rng.standard_normal((N, E)) * 0.5, dtype)
+    w = jnp.asarray(rng.standard_normal((V, E)) * 0.2, dtype)
+    labels = rng.integers(0, V, (N,)).astype(np.int32)
+    labels[:: 7] = -100  # ignore_index rows
+    labels[1:: 11] = -1  # other-shard / padding rows
+    return h, w, jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("N,E,V", [(512, 256, 1024), (300, 128, 512)])
+def test_fwd_matches_reference(N, E, V):
+    h, w, labels = _make(N, E, V)
+    lse, tl, m2, ai = fused_ce.fused_ce_rows(h, w, labels, interpret=True)
+    lse_r, tl_r, m2_r, ai_r = fused_ce._rows_reference(h, w, labels)
+    np.testing.assert_allclose(lse, lse_r, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(tl, tl_r, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(m2, m2_r, rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(ai, ai_r)
+
+
+def test_argmax_tie_keeps_smallest_index():
+    # duplicate max logits across two vocab blocks: argmax must pick the
+    # earlier index (matches the vocab-parallel pmin tie rule in
+    # parallel/loss_parallel.py)
+    N, E, V = 256, 128, 512
+    h = jnp.ones((N, E), jnp.float32)
+    w = jnp.zeros((V, E), jnp.float32)
+    w = w.at[5].set(1.0).at[300].set(1.0)  # identical rows -> tied max
+    labels = jnp.zeros((N,), jnp.int32)
+    *_, ai = fused_ce.fused_ce_rows(h, w, labels, interpret=True)
+    np.testing.assert_array_equal(ai, np.full((N,), 5, np.int32))
+
+
+def test_grads_match_reference():
+    N, E, V = 512, 256, 1024
+    h, w, labels = _make(N, E, V, seed=1)
+    valid = (labels >= 0) & (labels < V)
+
+    def loss_kernel(h, w):
+        lse, tl, _, _ = fused_ce.fused_ce_rows(h, w, labels, interpret=True)
+        return jnp.sum(jnp.where(valid, lse - tl, 0.0))
+
+    def loss_ref(h, w):
+        lse, tl, _, _ = fused_ce._rows_reference(h, w, labels)
+        return jnp.sum(jnp.where(valid, lse - tl, 0.0))
+
+    (lk, gk), (lr, gr) = (
+        jax.value_and_grad(loss_kernel, argnums=(0, 1))(h, w),
+        jax.value_and_grad(loss_ref, argnums=(0, 1))(h, w),
+    )
+    np.testing.assert_allclose(lk, lr, rtol=1e-5)
+    np.testing.assert_allclose(gk[0], gr[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(gk[1], gr[1], rtol=2e-5, atol=2e-5)
+
+
+def test_row_slicing_path(monkeypatch):
+    # force multiple kernel calls via a tiny dH budget; the per-slice dW
+    # contributions must sum to the full-gradient answer
+    monkeypatch.setattr(fused_ce, "_DH_VMEM_BUDGET", 256 * 256 * 4)
+    N, E, V = 768, 256, 512
+    h, w, labels = _make(N, E, V, seed=2)
+    valid = (labels >= 0) & (labels < V)
+
+    def loss(h, w):
+        lse, tl, _, _ = fused_ce.fused_ce_rows(h, w, labels, interpret=True)
+        return jnp.sum(jnp.where(valid, lse - tl, 0.0))
+
+    g = jax.grad(loss, argnums=(0, 1))(h, w)
+    lse_r, tl_r, *_ = fused_ce._rows_reference(h, w, labels)
+    gr = jax.grad(
+        lambda h, w: jnp.sum(
+            jnp.where(
+                valid,
+                fused_ce._rows_reference(h, w, labels)[0]
+                - fused_ce._rows_reference(h, w, labels)[1],
+                0.0,
+            )
+        ),
+        argnums=(0, 1),
+    )(h, w)
+    np.testing.assert_allclose(g[0], gr[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g[1], gr[1], rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_inputs_close():
+    N, E, V = 256, 128, 512
+    h, w, labels = _make(N, E, V, seed=3, dtype=jnp.bfloat16)
+    lse, tl, _, ai = fused_ce.fused_ce_rows(h, w, labels, interpret=True)
+    lse_r, tl_r, _, ai_r = fused_ce._rows_reference(h, w, labels)
+    np.testing.assert_allclose(lse, lse_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(tl, tl_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ai, ai_r)
+
+
+def test_unsupported_shapes_fall_back():
+    # E not lane-aligned -> dense reference path, still correct
+    N, E, V = 256, 100, 300
+    h, w, labels = _make(N, E, V, seed=4)
+    lse, tl, m2, ai = fused_ce.fused_ce_rows(h, w, labels, interpret=True)
+    lse_r, tl_r, m2_r, ai_r = fused_ce._rows_reference(h, w, labels)
+    np.testing.assert_allclose(lse, lse_r, rtol=1e-6)
+    np.testing.assert_array_equal(ai, ai_r)

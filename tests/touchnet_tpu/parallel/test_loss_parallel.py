@@ -126,6 +126,82 @@ def test_vocab_parallel_never_materializes_full_logits():
         assert shape not in txt, f"full logits {shape} materialized"
 
 
+def _inputs_pallas(seed=0, B=2, T=512, D=128, vocab=512):
+    """Shapes inside ops/fused_ce.kernel_applicable (N>=256 local rows,
+    lane-aligned E, block-divisible V) so impl="pallas" engages."""
+    rng = np.random.default_rng(seed)
+    hidden = jnp.asarray(rng.normal(size=(B, T, D)) * 0.5, jnp.float32)
+    head_w = jnp.asarray(rng.normal(size=(vocab, D)) * 0.1, jnp.float32)
+    labels = rng.integers(0, vocab, size=(B, T)).astype(np.int32)
+    labels[:, -T // 8:] = -100
+    slen = np.full((B, T), T // 2, np.int32)
+    ns = jnp.asarray(2.0 * B, jnp.float32)
+    return hidden, head_w, jnp.asarray(labels), jnp.asarray(slen), ns
+
+
+def test_pallas_impl_matches_golden_with_grads():
+    hidden, head_w, labels, slen, ns = _inputs_pallas(seed=6)
+
+    def gold(h, w):
+        return _golden(h, w, labels, slen, ns)[0]
+
+    def fused(h, w):
+        return fused_linear_cross_entropy(
+            h, w, labels, slen, ns, compute_dtype=jnp.float32, impl="pallas"
+        )[0]
+
+    g = _golden(hidden, head_w, labels, slen, ns)
+    f = fused_linear_cross_entropy(
+        hidden, head_w, labels, slen, ns,
+        compute_dtype=jnp.float32, impl="pallas",
+    )
+    for fv, gv in zip(f, g):
+        np.testing.assert_allclose(fv, gv, rtol=1e-5)
+    gh, gw = jax.grad(gold, argnums=(0, 1))(hidden, head_w)
+    fh, fw = jax.grad(fused, argnums=(0, 1))(hidden, head_w)
+    np.testing.assert_allclose(fh, gh, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fw, gw, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_impl_vocab_parallel_matches_golden_with_grads():
+    mesh = _tp_mesh()
+    hidden, head_w, labels, slen, ns = _inputs_pallas(seed=7)
+
+    def gold(h, w):
+        return _golden(h, w, labels, slen, ns)[0]
+
+    def fused(h, w):
+        return fused_linear_cross_entropy(
+            h, w, labels, slen, ns,
+            mesh=mesh, compute_dtype=jnp.float32, impl="pallas",
+        )[0]
+
+    g = _golden(hidden, head_w, labels, slen, ns)
+    with mesh:
+        f = jax.jit(
+            lambda h, w: fused_linear_cross_entropy(
+                h, w, labels, slen, ns,
+                mesh=mesh, compute_dtype=jnp.float32, impl="pallas",
+            )
+        )(hidden, head_w)
+    for fv, gv in zip(f, g):
+        np.testing.assert_allclose(fv, gv, rtol=1e-5)
+    gh, gw = jax.grad(gold, argnums=(0, 1))(hidden, head_w)
+    with mesh:
+        fh, fw = jax.jit(jax.grad(fused, argnums=(0, 1)))(hidden, head_w)
+    np.testing.assert_allclose(fh, gh, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(fw, gw, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_impl_rejects_unsupported_shapes():
+    hidden, head_w, labels, slen, ns = _inputs(seed=8)  # D=32: not aligned
+    with pytest.raises(ValueError, match="outside the kernel's support"):
+        fused_linear_cross_entropy(
+            hidden, head_w, labels, slen, ns,
+            compute_dtype=jnp.float32, impl="pallas",
+        )
+
+
 def test_vocab_not_divisible_falls_back():
     mesh = _tp_mesh()
     hidden, head_w, labels, slen, ns = _inputs(seed=5, vocab=V + 1)

@@ -10,15 +10,24 @@
 #   liger fused CE: Triton kernel fusing lm_head matmul + CE so the full
 #     [B, T, V] fp32 logits tensor never hits HBM
 #     (reference touchnet/bin/train.py:443-445, liger-kernel).
-# TPU-first design: one implementation covers both. The head matmul + CE is
-# chunked over positions with lax.scan and jax.checkpoint — each chunk's
-# [chunk, V] logits live only in registers/VMEM-sized working set and are
-# recomputed in the backward, so peak memory is O(chunk * V) instead of
-# O(B * T * V). Under tensor parallelism the same chunk body runs inside
-# shard_map with the vocab dim sharded on "tp": global max via lax.pmax,
-# global sum-exp / true-logit via lax.psum — XLA never materializes an
-# unsharded [B, T, V] array (test: tests/touchnet_tpu/parallel/
-# test_loss_parallel.py asserts the lowered HLO has no full-logits tensor).
+# TPU-first design: one interface covers both, with two interchangeable
+# implementations (impl= kwarg, auto-selected):
+#   "scan"   — the head matmul + CE chunked over positions with lax.scan and
+#     jax.checkpoint: each chunk's [chunk, V] logits live only in a
+#     VMEM-sized working set and are recomputed in the backward, so peak
+#     memory is O(chunk * V) instead of O(B * T * V). Works on any backend
+#     and any shape.
+#   "pallas" — ops/fused_ce.py: a Pallas kernel holding every logits tile in
+#     VMEM across the online-softmax pass, so even the [chunk, V] f32 tiles
+#     never round-trip HBM (the scan path still writes/reads them once per
+#     chunk). Selected automatically on TPU when the shapes qualify
+#     (kernel_applicable); measured 22.5 ms vs scan's 24.2 ms fwd+bwd for
+#     the bench head (N=8k, E=1536, V=32k) on v5e — the gap scales with N.
+# Under tensor parallelism either body runs inside shard_map with the vocab
+# dim sharded on "tp": global max via lax.pmax, global sum-exp / true-logit
+# via lax.psum — XLA never materializes an unsharded [B, T, V] array
+# (test: tests/touchnet_tpu/parallel/test_loss_parallel.py asserts the
+# lowered HLO has no full-logits tensor).
 #
 # Loss semantics are identical to touchnet_tpu.loss.cross_entropy_loss
 # ("pack loss"): per-sample = sum(ce / sentence_lens) / global num_sentence,
@@ -33,10 +42,69 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from touchnet_tpu.loss.cross_entropy import IGNORE_INDEX
+from touchnet_tpu.ops import fused_ce as _fused_ce
 
 BATCH_AXES = ("dp_replicate", "dp_shard")
 TP_AXIS = "tp"
 CP_AXIS = "cp"
+LN2 = 0.6931471805599453
+
+
+def _pick_impl(impl: Optional[str], n: int, e: int, v_local: int) -> str:
+    """Resolve impl=None/"auto" to the concrete body for local shapes."""
+    if impl in ("scan", "pallas"):
+        if impl == "pallas" and not _fused_ce.kernel_applicable(n, e, v_local):
+            raise ValueError(
+                f"impl='pallas' requested but shapes (N={n}, E={e}, "
+                f"V_local={v_local}) are outside the kernel's support; "
+                "use impl='scan' or None (auto)"
+            )
+        return impl
+    if jax.default_backend() == "tpu" and _fused_ce.kernel_applicable(
+        n, e, v_local
+    ):
+        return "pallas"
+    return "scan"
+
+
+def _rows_sums(
+    hidden: jax.Array,  # [N, D] flattened positions (local shard)
+    w: jax.Array,  # [V_local, D]
+    labels: jax.Array,  # [N] GLOBAL vocab ids
+    sentence_lens: jax.Array,  # [N]
+    axis_name: Optional[str],
+    vocab_start,  # scalar (traced under tp)
+    ignore_index: int,
+):
+    """The four pack-loss partial sums via the fused Pallas head+CE kernel
+    (ops/fused_ce.py). Interpret mode keeps this testable off-TPU."""
+    interpret = jax.default_backend() != "tpu"
+    lse, tl, m2, ai = _fused_ce.fused_ce_rows(
+        hidden, w, labels - vocab_start, interpret=interpret
+    )
+    valid = labels != ignore_index
+    if axis_name is not None:
+        # combine the shard-local online-softmax stats over the vocab axis;
+        # d(lse)/d(lse_local) = exp(lse_local - lse) (the shard's softmax
+        # share), handled by plain AD through exp/psum/log
+        m2 = jax.lax.stop_gradient(m2)  # stats-only (kernel vjp drops dm)
+        gmax = jax.lax.pmax(m2, axis_name) * LN2
+        sumexp = jax.lax.psum(jnp.exp(lse - gmax), axis_name)
+        lse = gmax + jnp.log(sumexp)
+        tl = jax.lax.psum(tl, axis_name)
+        gval = jax.lax.pmax(m2, axis_name)
+        cand = jnp.where(
+            m2 == gval, ai + vocab_start, jnp.iinfo(jnp.int32).max
+        )
+        ai = jax.lax.pmin(cand, axis_name)  # ties -> smallest global index
+    ce = jnp.where(valid, lse - tl, 0.0)
+    inv_slen = 1.0 / sentence_lens.astype(jnp.float32)
+    return (
+        jnp.sum(ce * inv_slen),
+        jnp.sum(ce),
+        jnp.sum(valid),
+        jnp.sum((ai == labels) & valid),
+    )
 
 
 def _chunk_body(w, axis_name, vocab_start, ignore_index):
@@ -149,6 +217,25 @@ def _finalize(sums, num_sentence) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return loss_per_sample, loss_per_token, acc
 
 
+def _sums(
+    hidden, w, labels, sentence_lens, chunk_size, axis_name, vocab_start,
+    ignore_index, impl,
+):
+    """Dispatch between the Pallas rows body and the scan body on the LOCAL
+    shapes actually entering the matmul."""
+    n, e = hidden.shape
+    body = _pick_impl(impl, n, e, w.shape[0])
+    if body == "pallas":
+        return _rows_sums(
+            hidden, w, labels, sentence_lens, axis_name, vocab_start,
+            ignore_index,
+        )
+    return _chunked_sums(
+        hidden, w, labels, sentence_lens, chunk_size, axis_name, vocab_start,
+        ignore_index,
+    )
+
+
 def fused_linear_cross_entropy(
     hidden: jax.Array,
     head_w: jax.Array,
@@ -160,6 +247,7 @@ def fused_linear_cross_entropy(
     chunk_size: int = 1024,
     compute_dtype=jnp.bfloat16,
     ignore_index: int = IGNORE_INDEX,
+    impl: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pack loss computed from final hidden states + lm_head weight without
     materializing [B, T, V] logits.
@@ -171,6 +259,8 @@ def fused_linear_cross_entropy(
         num_sentence: scalar GLOBAL packed-sentence count.
         mesh: when given and its "tp" axis is >1, runs vocab-parallel inside
             shard_map (head_w sharded on vocab; global reductions over tp).
+        impl: None/"auto" picks the Pallas fused kernel on TPU when shapes
+            qualify, else the lax.scan chunk body; "scan"/"pallas" force.
 
     Returns:
         (loss_per_sample, loss_per_token, accuracy) replicated scalars.
@@ -181,9 +271,10 @@ def fused_linear_cross_entropy(
         return _vocab_parallel_ce(
             hidden, head_w, labels, sentence_lens, num_sentence,
             mesh=mesh, chunk_size=chunk_size, ignore_index=ignore_index,
+            impl=impl,
         )
     n = hidden.shape[0] * hidden.shape[1]
-    sums = _chunked_sums(
+    sums = _sums(
         hidden.reshape(n, -1),
         head_w,
         labels.reshape(n),
@@ -192,6 +283,7 @@ def fused_linear_cross_entropy(
         axis_name=None,
         vocab_start=0,
         ignore_index=ignore_index,
+        impl=impl,
     )
     return _finalize(sums, num_sentence)
 
@@ -212,6 +304,7 @@ def _divisible_axes(dim: int, axes, mesh: Mesh):
 def _vocab_parallel_ce(
     hidden, head_w, labels, sentence_lens, num_sentence,
     *, mesh: Mesh, chunk_size: int, ignore_index: int,
+    impl: Optional[str] = None,
 ):
     try:
         from jax import shard_map
@@ -227,9 +320,9 @@ def _vocab_parallel_ce(
     tp_axes = _divisible_axes(V, (TP_AXIS,), mesh)
     if not tp_axes:  # vocab not divisible by tp — fall back to replicated W
         n = B * T
-        sums = _chunked_sums(
+        sums = _sums(
             hidden.reshape(n, -1), head_w, labels.reshape(n),
-            sentence_lens.reshape(n), chunk_size, None, 0, ignore_index,
+            sentence_lens.reshape(n), chunk_size, None, 0, ignore_index, impl,
         )
         return _finalize(sums, num_sentence)
 
@@ -241,9 +334,9 @@ def _vocab_parallel_ce(
         tp_idx = jax.lax.axis_index(TP_AXIS)
         v_local = w.shape[0]
         n = h.shape[0] * h.shape[1]
-        sums = _chunked_sums(
+        sums = _sums(
             h.reshape(n, -1), w, lab.reshape(n), slen.reshape(n),
-            chunk_size, TP_AXIS, tp_idx * v_local, ignore_index,
+            chunk_size, TP_AXIS, tp_idx * v_local, ignore_index, impl,
         )
         if data_axes:
             sums = tuple(jax.lax.psum(s, data_axes) for s in sums)
