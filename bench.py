@@ -56,15 +56,21 @@ def make_batch(batch, seqlen, vocab):
 
 
 def build(config, batch, seqlen, remat_mode="selective", ac_option="op"):
-    import optax
-
     from touchnet_tpu.models.llama import head_weight
     from touchnet_tpu.models.llama.modeling_llama import forward, init_params
+    from touchnet_tpu.ops.fused_adamw import fused_adamw_step
     from touchnet_tpu.parallel.loss_parallel import fused_linear_cross_entropy
 
     params = jax.jit(lambda k: init_params(config, k))(jax.random.PRNGKey(0))
-    tx = optax.adamw(3e-4, b1=0.9, b2=0.95, weight_decay=0.1)
-    opt_state = jax.jit(tx.init)(params)
+    # (mu, nu, count) — the same leaves optax.adamw keeps; the fused
+    # single-pass kernel is the trainer's optimizer_impl="fused" default
+    opt_state = jax.jit(
+        lambda p: (
+            jax.tree.map(jnp.zeros_like, p),
+            jax.tree.map(jnp.zeros_like, p),
+            jnp.zeros((), jnp.int32),
+        )
+    )(params)
     db = make_batch(batch, seqlen, config.vocab_size)
     num_sentence = jnp.asarray(2.0 * batch, jnp.float32)
 
@@ -89,8 +95,12 @@ def build(config, batch, seqlen, remat_mode="selective", ac_option="op"):
 
     def _step(p, s, b):
         loss, grads = jax.value_and_grad(loss_fn)(p, b)
-        updates, s = tx.update(grads, s, p)
-        return optax.apply_updates(p, updates), s, loss
+        mu, nu, count = s
+        p, mu, nu, count = fused_adamw_step(
+            grads, p, mu, nu, count, lr=jnp.asarray(3e-4, jnp.float32),
+            b1=0.9, b2=0.95, eps=1e-8, weight_decay=0.1,
+        )
+        return p, (mu, nu, count), loss
 
     # donated params/opt state (the production trainer donates too):
     # updates alias their input buffers instead of double-allocating

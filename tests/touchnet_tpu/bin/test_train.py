@@ -196,6 +196,33 @@ def test_train_e2e_ring_attention_cp(tmp_path):
 
 
 @pytest.mark.slow
+def test_fused_adamw_matches_optax_e2e(tmp_path):
+    """optimizer_impl='fused' (single-pass AdamW, ops/fused_adamw.py) must
+    train to the same weights as the optax chain ('for-loop') — same data,
+    same seed, 6 steps on the dp_shard=4 x tp=2 mesh."""
+    import jax
+    import numpy as np
+
+    listfile = build_corpus(tmp_path)
+    t_fused = run_trainer(make_args(
+        tmp_path, listfile, steps=6, optimizer_impl="fused",
+        training_trace_dump_folder=str(tmp_path / "exp_fused"),
+    ))
+    t_optax = run_trainer(make_args(
+        tmp_path, listfile, steps=6, optimizer_impl="for-loop",
+        training_trace_dump_folder=str(tmp_path / "exp_optax"),
+    ))
+    lf = jax.tree.leaves(t_fused.params)
+    lo = jax.tree.leaves(t_optax.params)
+    assert len(lf) == len(lo)
+    for a, b in zip(lf, lo):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-5, atol=1e-6,
+        )
+
+
+@pytest.mark.slow
 def test_train_e2e_fused_ce_loss_parallel(tmp_path):
     """liger flag + loss parallel under tp=2: the fused vocab-parallel CE
     path through the full trainer (VERDICT round-1 item 2)."""

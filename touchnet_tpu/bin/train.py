@@ -551,6 +551,25 @@ class Trainer:
             params, unshard_fsdp(self.param_shardings, self.mesh)
         )
 
+    def _fused_adamw_enabled(self, frozen_res) -> bool:
+        """optimizer_impl fused/foreach -> the single-expression AdamW
+        (ops/fused_adamw.py: clip + update + non-finite hold in one fused
+        pass per leaf); 'for-loop' keeps the optax chain. Requires the
+        recognizable optax.adamw state layout and no frozen params (their
+        updates must be zeroed AFTER weight decay). Plain-jnp body, so it
+        partitions under GSPMD on any mesh."""
+        cfg = self.job_config
+        if cfg.optimizer_name != "AdamW" or frozen_res:
+            return False
+        if cfg.optimizer_impl not in ("fused", "foreach"):
+            return False
+        try:
+            return any(
+                isinstance(s, optax.ScaleByAdamState) for s in self.opt_state
+            )
+        except TypeError:
+            return False
+
     def _build_train_step(self):
         cfg = self.job_config
         tx = self.tx
@@ -572,6 +591,40 @@ class Trainer:
             return any(r.fullmatch(ps) or r.match(ps) for r in frozen_res)
 
         value_and_grad = self._value_and_grad(loss_fn)
+        fused_adamw = self._fused_adamw_enabled(frozen_res)
+
+        def _apply_fused_adamw(grads, opt_state, params, scale, finite):
+            """Clip scale, AdamW update, and the non-finite hold in one fused
+            XLA pass per leaf — the optax chain runs the clip multiply and
+            the two where(finite) holds as separate HBM round trips
+            (ops/fused_adamw.py; reference multi-tensor fused AdamW,
+            touchnet/utils/optimizer.py:151-164)."""
+            from touchnet_tpu.ops.fused_adamw import fused_adamw_step
+
+            adam = next(
+                s for s in opt_state if isinstance(s, optax.ScaleByAdamState)
+            )
+            new_params, mu, nu, cnt = fused_adamw_step(
+                grads, params, adam.mu, adam.nu, adam.count,
+                lr=self.schedule(adam.count),
+                b1=0.9, b2=0.95, eps=cfg.optimizer_eps, weight_decay=0.1,
+                clip_scale=scale, finite=finite,
+            )
+            new_elems = []
+            for s in opt_state:
+                if isinstance(s, optax.ScaleByAdamState):
+                    new_elems.append(
+                        optax.ScaleByAdamState(count=cnt, mu=mu, nu=nu)
+                    )
+                elif "count" in getattr(s, "_fields", ()):
+                    # e.g. ScaleByScheduleState — keep its step counter in
+                    # lockstep with the adam count
+                    new_elems.append(
+                        s._replace(count=cnt.astype(s.count.dtype))
+                    )
+                else:
+                    new_elems.append(s)
+            return new_params, tuple(new_elems)
 
         def train_step(params, opt_state, batch, num_sentence, step):
             (loss_ps, (loss_pt, acc)), grads = value_and_grad(
@@ -585,22 +638,28 @@ class Trainer:
                 )
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
-            grads = jax.tree.map(lambda g: g * scale, grads)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            if frozen_res:
-                updates = jax.tree_util.tree_map_with_path(
-                    lambda p, u: jnp.zeros_like(u) if _is_frozen(p) else u, updates
-                )
-            new_params = optax.apply_updates(params, updates)
-            # skip the update entirely on non-finite grad norm
-            # (reference train.py:467-471)
             finite = jnp.isfinite(gnorm)
-            new_params = jax.tree.map(
-                lambda n, o: jnp.where(finite, n, o), new_params, params
-            )
-            new_opt = jax.tree.map(
-                lambda n, o: jnp.where(finite, n, o), new_opt, opt_state
-            )
+            if fused_adamw:
+                new_params, new_opt = _apply_fused_adamw(
+                    grads, opt_state, params, scale, finite
+                )
+            else:
+                grads = jax.tree.map(lambda g: g * scale, grads)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                if frozen_res:
+                    updates = jax.tree_util.tree_map_with_path(
+                        lambda p, u: jnp.zeros_like(u) if _is_frozen(p) else u,
+                        updates,
+                    )
+                new_params = optax.apply_updates(params, updates)
+                # skip the update entirely on non-finite grad norm
+                # (reference train.py:467-471)
+                new_params = jax.tree.map(
+                    lambda n, o: jnp.where(finite, n, o), new_params, params
+                )
+                new_opt = jax.tree.map(
+                    lambda n, o: jnp.where(finite, n, o), new_opt, opt_state
+                )
             metrics = {
                 "loss/per_sample": loss_ps,
                 "loss/per_token": loss_pt,
