@@ -184,3 +184,46 @@ def test_llama3_rope_scaling_matches_hf():
     )
     hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](hf_cfg, torch.device("cpu"))
     np.testing.assert_allclose(ours, hf_inv.numpy(), rtol=1e-6)
+
+
+def test_grouped_attn_layout_matches_eager(tiny):
+    """attn_implementation='flash' now routes through the kernel-native
+    grouped IO (decoder_layer grouped branch: projections emit
+    [B,Hkv,G,T,D], apply_rope_grouped, grouped o-proj contraction). Off-TPU
+    the grouped entry falls back to the dense reference, so this pins the
+    grouped projections/rope/o-proj against the eager bthd path — values
+    and gradients."""
+    import dataclasses
+
+    config, params, ids = tiny
+    seg = jnp.ones_like(ids)
+    seg = seg.at[:, -7:].set(2)  # packed boundary
+    pos = jnp.where(
+        seg == 2,
+        jnp.arange(ids.shape[1]) - (ids.shape[1] - 7),
+        jnp.arange(ids.shape[1]),
+    ).astype(jnp.int32)
+    cfg_flash = dataclasses.replace(config, attn_implementation="flash")
+    cfg_eager = dataclasses.replace(config, attn_implementation="eager")
+
+    def run(cfg, p):
+        return forward(
+            p, input_ids=ids, segment_ids=seg, position_ids=pos, config=cfg,
+            compute_dtype=jnp.float32,
+        )
+
+    lf = run(cfg_flash, params)
+    le = run(cfg_eager, params)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(le),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss(cfg):
+        def f(p):
+            return jnp.sum(run(cfg, p).astype(jnp.float32) ** 2)
+        return f
+
+    gf = jax.grad(loss(cfg_flash))(params)
+    ge = jax.grad(loss(cfg_eager))(params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(ge)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)

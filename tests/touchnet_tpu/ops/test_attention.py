@@ -217,3 +217,93 @@ def test_static_kernel_variant_reachable_and_exact():
     for a, b in zip(dyn_g, st_g):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Grouped-layout entry (flash_attention_grouped)
+# ---------------------------------------------------------------------------
+
+
+def _group(q, Hkv):
+    B, T, H, D = q.shape
+    return q.reshape(B, T, Hkv, H // Hkv, D).transpose(0, 2, 3, 1, 4)
+
+
+def _group_kv(k):
+    return k.transpose(0, 2, 1, 3)
+
+
+def _ungroup(qg):
+    B, Hkv, G, T, D = qg.shape
+    return qg.transpose(0, 3, 1, 2, 4).reshape(B, T, Hkv * G, D)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_grouped_matches_bthd(use_pallas):
+    from touchnet_tpu.ops.attention import flash_attention_grouped
+
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(5), H=8, Hkv=2, T=300,
+                               packed=True)
+    want = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                           use_pallas=use_pallas, interpret=use_pallas)
+    got_g = flash_attention_grouped(
+        _group(q, 2), _group_kv(k), _group_kv(v), seg,
+        block_q=128, block_kv=128,
+        use_pallas=use_pallas, interpret=use_pallas,
+    )
+    got = _ungroup(got_g)
+    m = (seg != 0)[..., None, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(m, got, 0)), np.asarray(jnp.where(m, want, 0)),
+        atol=2e-5, rtol=2e-5,
+    )
+
+
+def test_grouped_backward_matches_bthd():
+    from touchnet_tpu.ops.attention import flash_attention_grouped
+
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(6), H=8, Hkv=2, T=256,
+                               packed=True)
+    m = (seg != 0)[..., None, None]
+
+    def loss_bthd(q, k, v):
+        o = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                            use_pallas=True, interpret=True)
+        return jnp.sum(jnp.where(m, o, 0.0) ** 2)
+
+    def loss_grouped(q, k, v):
+        o = flash_attention_grouped(
+            _group(q, 2), _group_kv(k), _group_kv(v), seg,
+            block_q=128, block_kv=128, use_pallas=True, interpret=True,
+        )
+        return jnp.sum(jnp.where(m, _ungroup(o), 0.0) ** 2)
+
+    g_b = jax.grad(loss_bthd, argnums=(0, 1, 2))(q, k, v)
+    g_g = jax.grad(loss_grouped, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_b, g_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_grouped_q_offset_matches_full():
+    """CP slice: grouped entry with q_offset must equal the full-sequence
+    rows (the allgather rotation contract, parallel/context_parallel.py)."""
+    from touchnet_tpu.ops.attention import flash_attention_grouped
+
+    q, k, v, seg = make_inputs(jax.random.PRNGKey(7), H=4, Hkv=2, T=256,
+                               packed=True)
+    full = flash_attention(q, k, v, seg, block_q=128, block_kv=128,
+                           use_pallas=True, interpret=True)
+    half = T = 128
+    got_g = flash_attention_grouped(
+        _group(q[:, half:], 2), _group_kv(k), _group_kv(v),
+        seg[:, half:], kv_segment_ids=seg, q_offset=half,
+        block_q=128, block_kv=128, use_pallas=True, interpret=True,
+    )
+    got = _ungroup(got_g)
+    m = (seg[:, half:] != 0)[..., None, None]
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(m, got, 0)),
+        np.asarray(jnp.where(m, full[:, half:], 0)),
+        atol=2e-5, rtol=2e-5,
+    )

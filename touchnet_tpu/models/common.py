@@ -93,6 +93,33 @@ def apply_rope(
     return rot(q), rot(k)
 
 
+def apply_rope_grouped(
+    qg: jax.Array,
+    kh: jax.Array,
+    position_ids: jax.Array,
+    inv_freq: jax.Array,
+) -> tuple:
+    """apply_rope for the kernel-native grouped attention layout.
+
+    qg [B, Hkv, G, T, D], kh [B, Hkv, T, D], position_ids [B, T]. Identical
+    math to apply_rope (rotate_half, f32 trig) with the T axis moved."""
+    angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B,T,D/2]
+    cos = jnp.concatenate([cos_ := jnp.cos(angles), cos_], axis=-1)  # [B,T,D]
+    sin = jnp.concatenate([sin_ := jnp.sin(angles), sin_], axis=-1)
+
+    def rot(x, c, s):
+        half = x.shape[-1] // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        rotated = jnp.concatenate([-x2, x1], axis=-1)
+        return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s).astype(
+            x.dtype
+        )
+
+    q_out = rot(qg, cos[:, None, None, :, :], sin[:, None, None, :, :])
+    k_out = rot(kh, cos[:, None, :, :], sin[:, None, :, :])
+    return q_out, k_out
+
+
 def linear(x: jax.Array, weight: jax.Array, bias: Optional[jax.Array] = None):
     """y = x @ W^T (+ b). Weight stored HF-style [out, in]."""
     y = jax.lax.dot_general(

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from touchnet_tpu.models.common import (
     apply_rope,
+    apply_rope_grouped,
     linear,
     normal_init,
     rms_norm,
@@ -260,11 +261,20 @@ def scan_layers(
 def _default_attn(config: LlamaConfig, block_q: int, block_kv: int) -> Callable:
     if config.attn_implementation == "eager":
         return lambda q, k, v, seg: packed_attention_reference(q, k, v, seg)
-    # "flash_static": static-grid kernel variants (A/B escape hatch)
-    dynamic = config.attn_implementation != "flash_static"
-    return lambda q, k, v, seg: flash_attention(
-        q, k, v, seg, block_q=block_q, block_kv=block_kv, dynamic=dynamic
+    if config.attn_implementation == "flash_static":
+        # static-grid kernel variants (A/B escape hatch) keep [B,T,H,D] IO
+        return lambda q, k, v, seg: flash_attention(
+            q, k, v, seg, block_q=block_q, block_kv=block_kv, dynamic=False
+        )
+    # "flash": kernel-native grouped IO — the projection einsums emit/consume
+    # the kernel layout directly, so no transpose epilogues run per layer
+    from touchnet_tpu.ops.attention import flash_attention_grouped
+
+    fn = lambda q, k, v, seg: flash_attention_grouped(  # noqa: E731
+        q, k, v, seg, block_q=block_q, block_kv=block_kv
     )
+    fn.layout = "grouped"
+    return fn
 
 
 def decoder_layer(
@@ -286,21 +296,63 @@ def decoder_layer(
 
     normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
     sa = lp["self_attn"]
-    q = linear(normed, sa["q_proj"]["weight"], sa["q_proj"].get("bias")).reshape(
-        B, T, H, Dh
-    )
-    k = linear(normed, sa["k_proj"]["weight"], sa["k_proj"].get("bias")).reshape(
-        B, T, Hkv, Dh
-    )
-    v = linear(normed, sa["v_proj"]["weight"], sa["v_proj"].get("bias")).reshape(
-        B, T, Hkv, Dh
-    )
-    q, k = apply_rope(q, k, cos_sin_posids, inv_freq)
-    attn = attn_fn(q, k, v, segment_ids)
-    h = h + shard_fn(
-        linear(attn.reshape(B, T, H * Dh), sa["o_proj"]["weight"]),
-        "btd",
-    )
+    if getattr(attn_fn, "layout", "bthd") == "grouped":
+        # kernel-native IO: the projections emit [B,Hkv,G,T,D]/[B,Hkv,S,D]
+        # directly (the grouping transpose folds into the matmul output
+        # layout — measured free on v5e) and the o-projection contracts the
+        # grouped output without an ungroup copy (ops/attention.py grouped
+        # entry rationale)
+        G = H // Hkv
+        wq = sa["q_proj"]["weight"].reshape(Hkv, G, Dh, E)
+        q = jnp.einsum(
+            "btm,hgdm->bhgtd", normed, wq,
+            preferred_element_type=normed.dtype,
+        )
+        if sa["q_proj"].get("bias") is not None:
+            q = q + sa["q_proj"]["bias"].reshape(Hkv, G, Dh).astype(q.dtype)[
+                None, :, :, None, :
+            ]
+        wk = sa["k_proj"]["weight"].reshape(Hkv, Dh, E)
+        wv = sa["v_proj"]["weight"].reshape(Hkv, Dh, E)
+        k = jnp.einsum(
+            "btm,hdm->bhtd", normed, wk,
+            preferred_element_type=normed.dtype,
+        )
+        v = jnp.einsum(
+            "btm,hdm->bhtd", normed, wv,
+            preferred_element_type=normed.dtype,
+        )
+        if sa["k_proj"].get("bias") is not None:
+            k = k + sa["k_proj"]["bias"].reshape(Hkv, Dh).astype(k.dtype)[
+                None, :, None, :
+            ]
+            v = v + sa["v_proj"]["bias"].reshape(Hkv, Dh).astype(v.dtype)[
+                None, :, None, :
+            ]
+        q, k = apply_rope_grouped(q, k, cos_sin_posids, inv_freq)
+        attn = attn_fn(q, k, v, segment_ids)
+        wo = sa["o_proj"]["weight"].reshape(E, Hkv, G, Dh)
+        proj = jnp.einsum(
+            "bhgtd,mhgd->btm", attn, wo,
+            preferred_element_type=attn.dtype,
+        )
+        h = h + shard_fn(proj, "btd")
+    else:
+        q = linear(normed, sa["q_proj"]["weight"], sa["q_proj"].get("bias")).reshape(
+            B, T, H, Dh
+        )
+        k = linear(normed, sa["k_proj"]["weight"], sa["k_proj"].get("bias")).reshape(
+            B, T, Hkv, Dh
+        )
+        v = linear(normed, sa["v_proj"]["weight"], sa["v_proj"].get("bias")).reshape(
+            B, T, Hkv, Dh
+        )
+        q, k = apply_rope(q, k, cos_sin_posids, inv_freq)
+        attn = attn_fn(q, k, v, segment_ids)
+        h = h + shard_fn(
+            linear(attn.reshape(B, T, H * Dh), sa["o_proj"]["weight"]),
+            "btd",
+        )
     normed = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
     mlp_out = swiglu(
         normed,

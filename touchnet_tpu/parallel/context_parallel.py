@@ -34,21 +34,23 @@ def make_sharded_attn_fn(
     rotate_method: str = "allgather",
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
+    layout: str = "grouped",
 ):
     """Returns attn(q, k, v, segment_ids) -> out, partitioned over the mesh.
 
-    q [B, T, H, D], k/v [B, T, Hkv, D], segment_ids [B, T] — global shapes;
-    sharding: batch on dp, sequence on cp, heads on tp.
-    """
-    if mesh is None:
-        return lambda q, k, v, seg: flash_attention(
-            q, k, v, seg, block_q=block_q, block_kv=block_kv,
-            use_pallas=use_pallas, interpret=interpret,
-        )
+    layout "grouped" (default, the kernel-native IO — see ops/attention.py
+    flash_attention_grouped): q [B, Hkv, G, T, D], k/v [B, Hkv, S, D];
+    sharding: batch on dp, kv-heads on tp, sequence on cp. The returned fn
+    carries .layout = "grouped" so decoder layers emit/consume the kernel
+    layout directly from their projection einsums.
 
-    cp = mesh.shape.get("cp", 1)
-    qkv_spec = P(BATCH, "cp", "tp", None)
-    seg_spec = P(BATCH, "cp")
+    layout "bthd": q [B, T, H, D], k/v [B, T, Hkv, D]. The ring/alltoall
+    rotate method always uses this layout (the ring kernel owns its IO).
+
+    Both layouts shard k/v heads by tp, so the divisibility constraint
+    (Hkv % tp == 0) is unchanged.
+    """
+    cp = mesh.shape.get("cp", 1) if mesh is not None else 1
 
     if rotate_method == "alltoall" and cp > 1:
         from touchnet_tpu.ops.ring_attention import ring_attention_sharded
@@ -57,6 +59,20 @@ def make_sharded_attn_fn(
             mesh, block_q=block_q, block_kv=block_kv,
             use_pallas=use_pallas, interpret=interpret,
         )
+
+    if layout == "grouped":
+        return _make_grouped_attn_fn(
+            mesh, cp, block_q, block_kv, use_pallas, interpret
+        )
+
+    if mesh is None:
+        return lambda q, k, v, seg: flash_attention(
+            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    qkv_spec = P(BATCH, "cp", "tp", None)
+    seg_spec = P(BATCH, "cp")
 
     @functools.partial(
         shard_map,
@@ -85,3 +101,49 @@ def make_sharded_attn_fn(
         )
 
     return attn
+
+
+def _make_grouped_attn_fn(mesh, cp, block_q, block_kv, use_pallas, interpret):
+    from touchnet_tpu.ops.attention import flash_attention_grouped
+
+    if mesh is None:
+        fn = lambda q, k, v, seg: flash_attention_grouped(  # noqa: E731
+            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        fn.layout = "grouped"
+        return fn
+
+    qg_spec = P(BATCH, "tp", None, "cp", None)
+    kh_spec = P(BATCH, "tp", "cp", None)
+    seg_spec = P(BATCH, "cp")
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(qg_spec, kh_spec, kh_spec, seg_spec),
+        out_specs=qg_spec,
+        check_vma=False,
+    )
+    def attn(q, k, v, seg):
+        if cp > 1:
+            k_full = jax.lax.all_gather(k, "cp", axis=2, tiled=True)
+            v_full = jax.lax.all_gather(v, "cp", axis=2, tiled=True)
+            seg_full = jax.lax.all_gather(seg, "cp", axis=1, tiled=True)
+            q_off = jax.lax.axis_index("cp") * q.shape[3]
+            return flash_attention_grouped(
+                q, k_full, v_full, seg,
+                kv_segment_ids=seg_full, q_offset=q_off,
+                block_q=block_q, block_kv=block_kv,
+                use_pallas=use_pallas, interpret=interpret,
+            )
+        return flash_attention_grouped(
+            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+
+    def tagged(q, k, v, seg):
+        return attn(q, k, v, seg)
+
+    tagged.layout = "grouped"
+    return tagged
