@@ -49,6 +49,7 @@ def test_inference_touch_audio_e2e(tmp_path):
         "--output_dir", str(out_dir),
         "--batch_size", "2",
         "--max_length", "6",
+        "--inference_prefill_chunk", "8",  # chunked prefill through the CLI
         "--tokenizer_type", "RawTokenizer",
         "--tokenizer_raw_vocab_size", "64",
         "--audiofeat_num_mel_bins", "23",

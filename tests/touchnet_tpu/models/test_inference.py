@@ -122,3 +122,25 @@ def test_sampler_top_k():
         tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
                            top_k=2)
         assert int(tok[0]) in (1, 2)
+
+
+def test_chunked_prefill_matches_single_shot(tiny):
+    """prefill_chunk must reproduce the single-shot prefill exactly: same
+    greedy tokens for a ragged right-padded batch, including a prompt whose
+    last token falls mid-chunk and a chunk count > 1 (the chunk program
+    attends the cache prefix via the grouped flash entry with a kv-validity
+    segment; on CPU that routes through the dense reference)."""
+    config, params = tiny
+    emb = params["model"]["embed_tokens"]["weight"]
+    T = 40  # pads to 3 chunks of 16
+    ids0 = jax.random.randint(jax.random.PRNGKey(7), (1, T), 3, config.vocab_size)
+    ids1 = jax.random.randint(jax.random.PRNGKey(8), (1, 21), 3, config.vocab_size)
+    e0 = jnp.take(emb, ids0, axis=0)
+    e1 = jnp.pad(jnp.take(emb, ids1, axis=0), ((0, 0), (0, T - 21), (0, 0)))
+    batch = jnp.concatenate([e0, e1], axis=0)
+    lens = jnp.asarray([T, 21], jnp.int32)
+    want = generate(params, config, batch, lens, 6, eos_id=-1,
+                    compute_dtype=jnp.float32)
+    got = generate(params, config, batch, lens, 6, eos_id=-1,
+                   compute_dtype=jnp.float32, prefill_chunk=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

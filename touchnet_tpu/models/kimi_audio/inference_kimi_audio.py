@@ -146,6 +146,7 @@ def main(argv=None):
                 lm_params, model_config.text_config, prompt, jnp.asarray(lens),
                 config.max_length, eos_id=eos_id, embed_fn=embed_fn,
                 temperature=0.0, compute_dtype=dtype,
+                prefill_chunk=config.inference_prefill_chunk or None,
             )
         for i, (s, toks_out) in enumerate(zip(batch, np.asarray(out))):
             toks_out = [int(t) for t in toks_out

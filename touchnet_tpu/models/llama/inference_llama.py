@@ -138,6 +138,7 @@ def forward_step(
     write_pos: Optional[jax.Array] = None,  # SCALAR cache slot override
     attn_mask: Optional[jax.Array] = None,  # [B, S] cache-slot validity
     flash_prefill: bool = False,  # Tq>1 chunk at start_pos 0: flash kernel
+    prefill_ctx: Optional[jax.Array] = None,  # SCALAR offset: chunked prefill
     logits_indices: Optional[jax.Array] = None,  # [B] project ONLY these
     decode_valid=None,  # (prompt_len [B], base, last): ragged decode mask
 ) -> tuple:
@@ -161,7 +162,7 @@ def forward_step(
     layer = make_cached_layer_fn(
         config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
         start_pos, use_flash_decode, decode_valid, flash_prefill,
-        compute_dtype, block_map_ref,
+        compute_dtype, block_map_ref, prefill_ctx=prefill_ctx,
     )
 
     (h, new_kv, _), _ = jax.lax.scan(
@@ -188,6 +189,7 @@ def make_cached_layer_fn(
     config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
     start_pos, use_flash_decode, decode_valid, flash_prefill, compute_dtype,
     block_map_ref=(),  # [(bmap, nlive)] precomputed once per decode step
+    prefill_ctx=None,  # scalar chunk offset: flash chunk vs the cache prefix
 ):
     """Scan body for one decoder layer over the shared packed cache.
 
@@ -255,6 +257,37 @@ def make_cached_layer_fn(
                 q[:, 0], kv_cache_l, plen_, base_, last_, scale,
                 block_map=bmap_nlive,
             )[:, None]
+        elif prefill_ctx is not None and Tq > 1:
+            # CHUNKED prefill: the chunk's queries attend the cache prefix
+            # [0, prefill_ctx) plus themselves, via the grouped flash entry.
+            # The packed cache's [B, Hkv, S, 2D] layout IS the grouped
+            # kernel's native kv layout — k/v come straight off the lane
+            # split with zero transposes; unwritten slots are masked by a
+            # kv segment of 0 (padding only matches itself) and the live-
+            # block map DMA-skips whole dead blocks, so each chunk's cost
+            # scales with the written prefix, not the cache capacity. One
+            # [B, C] program serves every chunk of every prompt length.
+            from touchnet_tpu.ops.attention import flash_attention_grouped
+            from touchnet_tpu.ops.decode_attention import DECODE_BLOCK
+
+            S_cap = kv_cache_l.shape[2]
+            qg = q.reshape(B, Tq, Hkv, H // Hkv, Dh).transpose(0, 2, 3, 1, 4)
+            cols = jnp.arange(S_cap, dtype=jnp.int32)[None, :]
+            kv_seg = (cols < prefill_ctx + Tq).astype(jnp.int32)
+            kv_seg = jnp.broadcast_to(kv_seg, (B, S_cap))
+            attn_g = flash_attention_grouped(
+                qg,
+                kv_cache_l[..., :Dh].astype(q.dtype),
+                kv_cache_l[..., Dh:].astype(q.dtype),
+                segment_ids=jnp.ones((B, Tq), jnp.int32),
+                kv_segment_ids=kv_seg,
+                q_offset=prefill_ctx,
+                causal=True,
+                scale=scale,
+                block_q=min(1024, Tq),
+                block_kv=min(DECODE_BLOCK, S_cap),
+            )
+            attn = attn_g.transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, Dh)
         elif flash_prefill and Tq > 1:
             # the chunk is self-contained (start_pos 0): attend within the
             # fresh k/v via the packed flash kernel — the dense
@@ -329,14 +362,30 @@ def generate(
     repetition_window: int = 16,
     seed: int = 0,
     compute_dtype=jnp.bfloat16,
+    prefill_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Batch greedy/sampled decode. Returns [B, max_new_tokens] (eos-padded).
 
     Right padding: positions >= prompt_len are pad; the cache is filled with
     the full padded prompt but attention masks beyond valid_len, and the
     first generated token reads logits at prompt_len - 1.
+
+    prefill_chunk: when set, the prompt is prefilled in fixed [B, chunk]
+    steps inside one lax.fori_loop — ONE chunk program is compiled and
+    reused for every chunk of every prompt length (the single-shot path
+    recompiles per distinct padded Tp), and peak prefill activations are
+    O(chunk) instead of O(Tp). Each chunk attends the cache prefix via the
+    grouped flash kernel (see make_cached_layer_fn prefill_ctx).
     """
     B, Tp, E = prompt_embeds.shape
+    if prefill_chunk:
+        # production chunks should be 128-multiples (the kernel pads the
+        # chunk's q dim to its block size otherwise); any size is correct
+        C = min(prefill_chunk, Tp)
+        pad = (-Tp) % C
+        if pad:
+            prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, pad), (0, 0)))
+        Tp = Tp + pad  # decode slots start after the chunk-padded prompt
     max_len = Tp + max_new_tokens
     if embed_fn is None:
         embed_fn = lambda tok: jnp.take(  # noqa: E731
@@ -344,16 +393,46 @@ def generate(
         )
 
     cache = init_cache(config, B, max_len, compute_dtype)
-    # prefill with start_pos 0 for all rows (padded rows attend causally;
-    # garbage beyond prompt_len is never read back); slot 0 is uniform
-    logits, cache = forward_step(
-        params, prompt_embeds, cache,
-        jnp.zeros((B,), jnp.int32), config, compute_dtype,
-        write_pos=jnp.asarray(0, jnp.int32),
-        flash_prefill=True,
-        logits_indices=prompt_len - 1,
-    )
-    last_logits = logits[:, 0]  # [B, V]
+    if prefill_chunk:
+        nchunks = Tp // C
+        last_idx = prompt_len - 1  # [B] position whose logits seed decoding
+
+        def chunk_body(i, carry):
+            kv, last_logits = carry
+            off = i * C
+            emb = jax.lax.dynamic_slice(prompt_embeds, (0, off, 0), (B, C, E))
+            logits, new_cache = forward_step(
+                params, emb, KVCache(kv),
+                jnp.full((B,), off, jnp.int32), config, compute_dtype,
+                write_pos=off,
+                prefill_ctx=off,
+                logits_indices=jnp.clip(last_idx - off, 0, C - 1),
+            )
+            in_chunk = (last_idx >= off) & (last_idx < off + C)
+            last_logits = jnp.where(
+                in_chunk[:, None], logits[:, 0], last_logits
+            )
+            return new_cache.kv, last_logits
+
+        kv, last_logits = jax.lax.fori_loop(
+            0, nchunks, chunk_body,
+            (cache.kv, jnp.zeros((B, params["model"]["embed_tokens"][
+                "weight"].shape[0] if config.tie_word_embeddings
+                else params["lm_head"]["weight"].shape[0]), jnp.float32)),
+        )
+        cache = KVCache(kv)
+    else:
+        # prefill with start_pos 0 for all rows (padded rows attend
+        # causally; garbage beyond prompt_len is never read back); slot 0
+        # is uniform
+        logits, cache = forward_step(
+            params, prompt_embeds, cache,
+            jnp.zeros((B,), jnp.int32), config, compute_dtype,
+            write_pos=jnp.asarray(0, jnp.int32),
+            flash_prefill=True,
+            logits_indices=prompt_len - 1,
+        )
+        last_logits = logits[:, 0]  # [B, V]
 
     window = max(repetition_window, 1)
 

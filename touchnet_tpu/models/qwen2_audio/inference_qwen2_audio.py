@@ -100,6 +100,7 @@ def main(argv=None):
             params["language_model"], model_config.text_config, prompt,
             jnp.asarray(lens), config.max_length, eos_id=tokenizer.eos,
             compute_dtype=dtype,
+            prefill_chunk=config.inference_prefill_chunk or None,
         )
         for s, toks in zip(batch, np.asarray(out)):
             toks = [int(t) for t in toks if int(t) != tokenizer.eos]

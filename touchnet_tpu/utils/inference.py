@@ -41,6 +41,17 @@ class InferenceConfig:
         )},
     )
     max_length: int = field(default=512)
+    inference_prefill_chunk: int = field(
+        default=0,
+        metadata={"help": (
+            "0 = single-shot prefill (one program per padded prompt "
+            "length). >0 = chunked prefill: the prompt is consumed in "
+            "fixed [B, chunk] steps inside one fori_loop — one compiled "
+            "chunk program serves every prompt length, and peak prefill "
+            "activations are O(chunk). Use a multiple of 128. (kimi_audio "
+            "dual-stream decode keeps its own prefill.)"
+        )},
+    )
     training_model_config_path: Optional[str] = field(default=None)
     output_type: str = field(
         default="text",
