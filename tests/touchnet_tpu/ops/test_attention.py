@@ -307,3 +307,38 @@ def test_grouped_q_offset_matches_full():
         np.asarray(jnp.where(m, full[:, half:], 0)),
         atol=2e-5, rtol=2e-5,
     )
+
+
+def test_prefill_grouped_with_precomputed_map():
+    """flash_prefill_grouped (forward-only, chunked-prefill entry) with a
+    make_grouped_prefill_map-precomputed block map must equal the dense
+    reference for a mid-prompt chunk attending a masked kv prefix."""
+    from touchnet_tpu.ops.attention import (
+        flash_prefill_grouped,
+        make_grouped_prefill_map,
+    )
+
+    B, T, H, Hkv, D = 2, 128, 4, 2, 64
+    S = 512  # cache capacity; only [0, off + T) written
+    off = 256
+    key = jax.random.PRNGKey(9)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (B, T, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+    q_seg = jnp.ones((B, T), jnp.int32)
+    cols = jnp.arange(S)[None, :]
+    kv_seg = jnp.broadcast_to((cols < off + T).astype(jnp.int32), (B, S))
+
+    want = packed_attention_reference(
+        q, k, v, q_seg, causal=True, kv_segment_ids=kv_seg, q_offset=off
+    )
+    bmap = make_grouped_prefill_map(q_seg, kv_seg, off, 128, 128)
+    got_g = flash_prefill_grouped(
+        _group(q, Hkv), _group_kv(k), _group_kv(v), q_seg, kv_seg,
+        q_offset=off, block_q=128, block_kv=128, block_map=bmap,
+        use_pallas=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_ungroup(got_g)), np.asarray(want), atol=2e-5, rtol=2e-5
+    )

@@ -372,6 +372,7 @@ class Trainer:
         )
 
         bundle = build_optimizer(job_config)
+        self.opt_bundle = bundle
         self.tx, self.schedule = bundle.tx, bundle.schedule
         # moment trees inherit the param shardings via propagation; scalar
         # leaves (step counts) are pinned replicated so restored checkpoints
@@ -604,10 +605,11 @@ class Trainer:
             adam = next(
                 s for s in opt_state if isinstance(s, optax.ScaleByAdamState)
             )
+            ob = self.opt_bundle
             new_params, mu, nu, cnt = fused_adamw_step(
                 grads, params, adam.mu, adam.nu, adam.count,
                 lr=self.schedule(adam.count),
-                b1=0.9, b2=0.95, eps=cfg.optimizer_eps, weight_decay=0.1,
+                b1=ob.b1, b2=ob.b2, eps=ob.eps, weight_decay=ob.weight_decay,
                 clip_scale=scale, finite=finite,
             )
             new_elems = []

@@ -158,11 +158,16 @@ def forward_step(
     use_flash_decode, attn_mask, block_map_ref = decode_attention_setup(
         config, cache, Tq, decode_valid, attn_mask
     )
+    prefill_args = None
+    if prefill_ctx is not None and Tq > 1:
+        prefill_args = make_prefill_args(
+            B, Tq, cache.kv.shape[3], prefill_ctx
+        )
 
     layer = make_cached_layer_fn(
         config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
         start_pos, use_flash_decode, decode_valid, flash_prefill,
-        compute_dtype, block_map_ref, prefill_ctx=prefill_ctx,
+        compute_dtype, block_map_ref, prefill_args=prefill_args,
     )
 
     (h, new_kv, _), _ = jax.lax.scan(
@@ -185,11 +190,31 @@ def forward_step(
     return logits.astype(jnp.float32), KVCache(new_kv)
 
 
+def make_prefill_args(B, Tq, S_cap, prefill_ctx, *, block_q=1024,
+                      block_kv=None):
+    """Per-chunk state for the chunked-prefill attention: the q/kv validity
+    segments and the flash live-block map, computed ONCE per chunk (one XLA
+    sort) and shared by every decoder layer."""
+    from touchnet_tpu.ops.attention import make_grouped_prefill_map
+    from touchnet_tpu.ops.decode_attention import DECODE_BLOCK
+
+    block_q = min(block_q, Tq)
+    block_kv = min(DECODE_BLOCK, S_cap) if block_kv is None else block_kv
+    q_seg = jnp.ones((B, Tq), jnp.int32)
+    cols = jnp.arange(S_cap, dtype=jnp.int32)[None, :]
+    kv_seg = jnp.broadcast_to(
+        (cols < prefill_ctx + Tq).astype(jnp.int32), (B, S_cap)
+    )
+    bmap = make_grouped_prefill_map(q_seg, kv_seg, prefill_ctx,
+                                    block_q, block_kv)
+    return (prefill_ctx, q_seg, kv_seg, bmap, block_q, block_kv)
+
+
 def make_cached_layer_fn(
     config, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
     start_pos, use_flash_decode, decode_valid, flash_prefill, compute_dtype,
     block_map_ref=(),  # [(bmap, nlive)] precomputed once per decode step
-    prefill_ctx=None,  # scalar chunk offset: flash chunk vs the cache prefix
+    prefill_args=None,  # from make_prefill_args: chunked-prefill state
 ):
     """Scan body for one decoder layer over the shared packed cache.
 
@@ -257,35 +282,32 @@ def make_cached_layer_fn(
                 q[:, 0], kv_cache_l, plen_, base_, last_, scale,
                 block_map=bmap_nlive,
             )[:, None]
-        elif prefill_ctx is not None and Tq > 1:
+        elif prefill_args is not None and Tq > 1:
             # CHUNKED prefill: the chunk's queries attend the cache prefix
             # [0, prefill_ctx) plus themselves, via the grouped flash entry.
             # The packed cache's [B, Hkv, S, 2D] layout IS the grouped
             # kernel's native kv layout — k/v come straight off the lane
             # split with zero transposes; unwritten slots are masked by a
             # kv segment of 0 (padding only matches itself) and the live-
-            # block map DMA-skips whole dead blocks, so each chunk's cost
-            # scales with the written prefix, not the cache capacity. One
-            # [B, C] program serves every chunk of every prompt length.
-            from touchnet_tpu.ops.attention import flash_attention_grouped
-            from touchnet_tpu.ops.decode_attention import DECODE_BLOCK
+            # block map (precomputed once per chunk, make_prefill_args)
+            # DMA-skips whole dead blocks, so each chunk's cost scales with
+            # the written prefix, not the cache capacity. One [B, C]
+            # program serves every chunk of every prompt length.
+            from touchnet_tpu.ops.attention import flash_prefill_grouped
 
-            S_cap = kv_cache_l.shape[2]
+            p_ctx, q_seg, kv_seg, bmap, bq, bkv = prefill_args
             qg = q.reshape(B, Tq, Hkv, H // Hkv, Dh).transpose(0, 2, 3, 1, 4)
-            cols = jnp.arange(S_cap, dtype=jnp.int32)[None, :]
-            kv_seg = (cols < prefill_ctx + Tq).astype(jnp.int32)
-            kv_seg = jnp.broadcast_to(kv_seg, (B, S_cap))
-            attn_g = flash_attention_grouped(
+            attn_g = flash_prefill_grouped(
                 qg,
                 kv_cache_l[..., :Dh].astype(q.dtype),
                 kv_cache_l[..., Dh:].astype(q.dtype),
-                segment_ids=jnp.ones((B, Tq), jnp.int32),
-                kv_segment_ids=kv_seg,
-                q_offset=prefill_ctx,
-                causal=True,
+                q_seg,
+                kv_seg,
+                q_offset=p_ctx,
                 scale=scale,
-                block_q=min(1024, Tq),
-                block_kv=min(DECODE_BLOCK, S_cap),
+                block_q=bq,
+                block_kv=bkv,
+                block_map=bmap,
             )
             attn = attn_g.transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, Dh)
         elif flash_prefill and Tq > 1:
@@ -379,9 +401,11 @@ def generate(
     """
     B, Tp, E = prompt_embeds.shape
     if prefill_chunk:
-        # production chunks should be 128-multiples (the kernel pads the
-        # chunk's q dim to its block size otherwise); any size is correct
         C = min(prefill_chunk, Tp)
+        if jax.default_backend() == "tpu":
+            # Mosaic block shapes need 128-lane alignment; the CPU fallback
+            # (dense reference) accepts any chunk, which the tests use
+            C = -(-C // 128) * 128
         pad = (-Tp) % C
         if pad:
             prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, pad), (0, 0)))

@@ -326,6 +326,7 @@ def decoder_layer(
             k = k + sa["k_proj"]["bias"].reshape(Hkv, Dh).astype(k.dtype)[
                 None, :, None, :
             ]
+        if sa["v_proj"].get("bias") is not None:
             v = v + sa["v_proj"]["bias"].reshape(Hkv, Dh).astype(v.dtype)[
                 None, :, None, :
             ]

@@ -394,19 +394,26 @@ def _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
 
 
 def _fwd_dyn_core(qg, kh, vh, q_seg, kv_seg, q_off, causal, scale, block_q,
-                  block_kv, interpret):
+                  block_kv, interpret, block_map=None):
     """Grouped-layout dynamic-trip forward: qg [B,Hkv,G,T,D] (D lane-padded),
     kh/vh [B,Hkv,S,D] -> (outg [B,Hkv,G,T,D], lse flat
-    [B,Hkv,1,nq*G*block_q] in (iq, g, row) order)."""
+    [B,Hkv,1,nq*G*block_q] in (iq, g, row) order).
+
+    block_map: optional precomputed (q_uni, kv_uni, kvmap, nlive) — the map
+    depends only on segments/offsets, so callers running the same shapes
+    repeatedly (one chunk across L layers) compute it once."""
     B, Hkv, G, T, D = qg.shape
     S = kh.shape[2]
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
 
-    q_uni = _block_uniform(q_seg, block_q)
-    kv_uni = _block_uniform(kv_seg, block_kv)
-    kvmap, nlive = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1], nq, nkv,
-                                 block_q, block_kv, causal)
+    if block_map is None:
+        q_uni = _block_uniform(q_seg, block_q)
+        kv_uni = _block_uniform(kv_seg, block_kv)
+        kvmap, nlive = _kv_block_map(q_uni, kv_uni, q_off[0], q_off[1],
+                                     nq, nkv, block_q, block_kv, causal)
+    else:
+        q_uni, kv_uni, kvmap, nlive = block_map
 
     kernel = functools.partial(
         _fwd_kernel_dyn, scale=scale, causal=causal,
@@ -1834,3 +1841,81 @@ def flash_attention_grouped(
         interpret,
     )
     return out[:, :, :, :T]
+
+
+def make_grouped_prefill_map(q_seg, kv_seg, q_offset, block_q, block_kv,
+                             causal: bool = True):
+    """Precompute the live-kv block map for flash_prefill_grouped.
+
+    One chunk's map is identical across all L decoder layers (it depends
+    only on segments and the chunk offset) — computing it per layer costs
+    one XLA sort per layer (the decode path's make_decode_block_map has the
+    same contract). Pads segments exactly like flash_prefill_grouped."""
+    T = q_seg.shape[1]
+    S = kv_seg.shape[1]
+    block_q = min(block_q, -(-T // 128) * 128)
+    block_kv = min(block_kv, -(-S // 128) * 128)
+    q_segp = _pad_to(q_seg.astype(jnp.int32), block_q, 1)
+    kv_segp = _pad_to(kv_seg.astype(jnp.int32), block_kv, 1)
+    nq = pl.cdiv(q_segp.shape[1], block_q)
+    nkv = pl.cdiv(kv_segp.shape[1], block_kv)
+    q_uni = _block_uniform(q_segp, block_q)
+    kv_uni = _block_uniform(kv_segp, block_kv)
+    kvmap, nlive = _kv_block_map(
+        q_uni, kv_uni,
+        jnp.asarray(q_offset, jnp.int32), jnp.asarray(0, jnp.int32),
+        nq, nkv, block_q, block_kv, causal,
+    )
+    return q_uni, kv_uni, kvmap, nlive
+
+
+def flash_prefill_grouped(
+    q: jax.Array,  # [B, Hkv, G, T, D]
+    k: jax.Array,  # [B, Hkv, S, D]
+    v: jax.Array,
+    segment_ids: jax.Array,  # [B, T]
+    kv_segment_ids: jax.Array,  # [B, S]
+    *,
+    q_offset,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_kv: int = 512,
+    block_map=None,  # from make_grouped_prefill_map (same block sizes)
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward-only grouped flash attention for chunked prefill.
+
+    Like flash_attention_grouped but with no custom_vjp (decode/prefill is
+    inference-only) and an optional precomputed block map so a chunk's one
+    XLA sort is shared across every decoder layer."""
+    B, Hkv, G, T, D = q.shape
+    S = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(D)
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if not (use_pallas or interpret):
+        out = packed_attention_reference(
+            _ungroup_q(q), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            segment_ids, True, scale,
+            kv_segment_ids=kv_segment_ids, q_offset=q_offset, kv_offset=0,
+        )
+        return _regroup_q(out, Hkv)
+    block_q = min(block_q, -(-T // 128) * 128)
+    block_kv = min(block_kv, -(-S // 128) * 128)
+    qp = _pad_to(q, block_q, 3)
+    kp = _pad_to(k, block_kv, 2)
+    vp = _pad_to(v, block_kv, 2)
+    q_segp = _pad_to(segment_ids.astype(jnp.int32), block_q, 1)
+    kv_segp = _pad_to(kv_segment_ids.astype(jnp.int32), block_kv, 1)
+    qp, kp, vp = _pad_head_dim(qp, kp, vp)
+    q_off = jnp.stack([
+        jnp.asarray(q_offset, jnp.int32).reshape(()),
+        jnp.asarray(0, jnp.int32).reshape(()),
+    ])
+    out, _ = _fwd_dyn_core(
+        qp, kp, vp, q_segp, kv_segp, q_off, True, scale, block_q, block_kv,
+        interpret, block_map=block_map,
+    )
+    return out[:, :, :, :T, :D]

@@ -50,8 +50,16 @@ CP_AXIS = "cp"
 LN2 = 0.6931471805599453
 
 
-def _pick_impl(impl: Optional[str], n: int, e: int, v_local: int) -> str:
-    """Resolve impl=None/"auto" to the concrete body for local shapes."""
+def _pick_impl(
+    impl: Optional[str], n: int, e: int, v_local: int,
+    pallas_safe: bool = True,
+) -> str:
+    """Resolve impl=None/"auto" to the concrete body for local shapes.
+
+    pallas_safe: False when the body would run under GSPMD on sharded
+    global arrays (a pallas_call is an opaque custom call the SPMD
+    partitioner cannot split — only per-device bodies inside shard_map or
+    unsharded single-device programs may auto-pick it)."""
     if impl in ("scan", "pallas"):
         if impl == "pallas" and not _fused_ce.kernel_applicable(n, e, v_local):
             raise ValueError(
@@ -60,8 +68,10 @@ def _pick_impl(impl: Optional[str], n: int, e: int, v_local: int) -> str:
                 "use impl='scan' or None (auto)"
             )
         return impl
-    if jax.default_backend() == "tpu" and _fused_ce.kernel_applicable(
-        n, e, v_local
+    if (
+        pallas_safe
+        and jax.default_backend() == "tpu"
+        and _fused_ce.kernel_applicable(n, e, v_local)
     ):
         return "pallas"
     return "scan"
@@ -88,11 +98,11 @@ def _rows_sums(
         # d(lse)/d(lse_local) = exp(lse_local - lse) (the shard's softmax
         # share), handled by plain AD through exp/psum/log
         m2 = jax.lax.stop_gradient(m2)  # stats-only (kernel vjp drops dm)
-        gmax = jax.lax.pmax(m2, axis_name) * LN2
+        gval = jax.lax.pmax(m2, axis_name)  # one collective serves both
+        gmax = gval * LN2
         sumexp = jax.lax.psum(jnp.exp(lse - gmax), axis_name)
         lse = gmax + jnp.log(sumexp)
         tl = jax.lax.psum(tl, axis_name)
-        gval = jax.lax.pmax(m2, axis_name)
         cand = jnp.where(
             m2 == gval, ai + vocab_start, jnp.iinfo(jnp.int32).max
         )
@@ -219,12 +229,12 @@ def _finalize(sums, num_sentence) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 def _sums(
     hidden, w, labels, sentence_lens, chunk_size, axis_name, vocab_start,
-    ignore_index, impl,
+    ignore_index, impl, pallas_safe=True,
 ):
     """Dispatch between the Pallas rows body and the scan body on the LOCAL
     shapes actually entering the matmul."""
     n, e = hidden.shape
-    body = _pick_impl(impl, n, e, w.shape[0])
+    body = _pick_impl(impl, n, e, w.shape[0], pallas_safe)
     if body == "pallas":
         return _rows_sums(
             hidden, w, labels, sentence_lens, axis_name, vocab_start,
@@ -284,6 +294,9 @@ def fused_linear_cross_entropy(
         vocab_start=0,
         ignore_index=ignore_index,
         impl=impl,
+        # this body runs under GSPMD on the (possibly dp/cp-sharded) global
+        # batch — the kernel may only auto-engage on a single-device mesh
+        pallas_safe=mesh is None or mesh.size == 1,
     )
     return _finalize(sums, num_sentence)
 
@@ -323,6 +336,7 @@ def _vocab_parallel_ce(
         sums = _sums(
             hidden.reshape(n, -1), head_w, labels.reshape(n),
             sentence_lens.reshape(n), chunk_size, None, 0, ignore_index, impl,
+            pallas_safe=mesh.size == 1,
         )
         return _finalize(sums, num_sentence)
 

@@ -74,10 +74,18 @@ def build_lr_schedule(job_config: TrainConfig):
 
 
 class OptimizerBundle(NamedTuple):
-    """Optimizer transform + its schedule; state lives in the trainer."""
+    """Optimizer transform + its schedule; state lives in the trainer.
+
+    The hyperparameters are carried alongside tx so the fused single-pass
+    AdamW (ops/fused_adamw.py, optimizer_impl='fused') reads the SAME
+    values the optax chain was built with — never duplicated literals."""
 
     tx: optax.GradientTransformation
     schedule: object  # callable(step) -> lr
+    b1: float = 0.9
+    b2: float = 0.95
+    eps: float = 1e-8
+    weight_decay: float = 0.1
 
 
 def build_optimizer(
@@ -95,18 +103,21 @@ def build_optimizer(
     # all three impls are the same XLA-fused optax update on TPU (reference
     # optimizer.py:151-164 picks CUDA kernels; parity knob, validated only)
     schedule = build_lr_schedule(job_config)
-    common = dict(
-        b1=0.9, b2=0.95, eps=job_config.optimizer_eps,
-    )
+    b1, b2, wd = 0.9, 0.95, 0.1  # reference defaults (optimizer.py:151-164)
+    eps = job_config.optimizer_eps
     if name == "AdamW":
-        tx = optax.adamw(learning_rate=schedule, weight_decay=0.1, **common)
+        tx = optax.adamw(
+            learning_rate=schedule, b1=b1, b2=b2, eps=eps, weight_decay=wd
+        )
     elif name == "Adam":
-        tx = optax.adam(learning_rate=schedule, **common)
+        tx = optax.adam(learning_rate=schedule, b1=b1, b2=b2, eps=eps)
     else:
         raise NotImplementedError(f"optimizer {name} not added")
     if max_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(max_norm), tx)
-    return OptimizerBundle(tx=tx, schedule=schedule)
+    return OptimizerBundle(
+        tx=tx, schedule=schedule, b1=b1, b2=b2, eps=eps, weight_decay=wd
+    )
 
 
 def global_grad_norm(grads) -> jax.Array:
