@@ -21,3 +21,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def tmp_exp_dir(tmp_path):
     return str(tmp_path)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module: a full-suite run
+    accumulates hundreds of XLA:CPU programs in one process, and the LLVM
+    JIT state eventually segfaults a later large compile (reproducible at
+    tests/touchnet_tpu/parallel/test_pipeline.py::test_train_e2e_pipeline
+    only when the whole suite precedes it; every module subset is clean).
+    Module-scoped so within-module fixtures keep their compiled steps."""
+    import gc
+
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -11,6 +11,14 @@ def main():
     coordinator, process_id = sys.argv[1], int(sys.argv[2])
     import jax
 
+    # select the backend via jax.config, NOT the JAX_PLATFORMS env var: the
+    # axon environment injects a .pth that makes env-var platform selection
+    # probe the TPU terminal during device discovery — when the tunnel is
+    # down, jax.devices() hangs forever even with JAX_PLATFORMS=cpu
+    # (conftest.py documents the same rule for the in-process suite)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
     jax.distributed.initialize(
         coordinator_address=coordinator, num_processes=2, process_id=process_id
     )
