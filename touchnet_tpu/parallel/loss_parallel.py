@@ -277,8 +277,12 @@ def fused_linear_cross_entropy(
     """
     hidden = hidden.astype(compute_dtype)
     head_w = head_w.astype(compute_dtype)
-    if mesh is not None and mesh.shape.get(TP_AXIS, 1) > 1:
-        return _vocab_parallel_ce(
+    if mesh is not None and mesh.size > 1:
+        # multi-device: run the body inside shard_map over whatever axes
+        # divide (tp shards the vocab; dp/cp shard the rows) — per-device
+        # bodies let the Pallas kernel engage (a pallas_call cannot be
+        # split by GSPMD) and psum the four sums
+        return _sharded_ce(
             hidden, head_w, labels, sentence_lens, num_sentence,
             mesh=mesh, chunk_size=chunk_size, ignore_index=ignore_index,
             impl=impl,
@@ -314,11 +318,15 @@ def _divisible_axes(dim: int, axes, mesh: Mesh):
     return tuple(out)
 
 
-def _vocab_parallel_ce(
+def _sharded_ce(
     hidden, head_w, labels, sentence_lens, num_sentence,
     *, mesh: Mesh, chunk_size: int, ignore_index: int,
     impl: Optional[str] = None,
 ):
+    """CE inside shard_map over every mesh axis that divides: tp shards the
+    vocab (vocab-parallel combine), dp_replicate/dp_shard shard the batch
+    rows and cp the sequence (four-sum psum). tp may be 1 — the dp/cp-only
+    case still runs per-device so the Pallas body stays usable."""
     try:
         from jax import shard_map
         rep_kw = {"check_vma": False}
@@ -331,7 +339,8 @@ def _vocab_parallel_ce(
     batch_axes = _divisible_axes(B, BATCH_AXES, mesh)
     seq_axes = _divisible_axes(T, (CP_AXIS,), mesh)
     tp_axes = _divisible_axes(V, (TP_AXIS,), mesh)
-    if not tp_axes:  # vocab not divisible by tp — fall back to replicated W
+    if not tp_axes and not batch_axes and not seq_axes:
+        # nothing divides: plain GSPMD body (scan only — see _pick_impl)
         n = B * T
         sums = _sums(
             hidden.reshape(n, -1), head_w, labels.reshape(n),
@@ -343,14 +352,19 @@ def _vocab_parallel_ce(
     bspec = batch_axes if batch_axes else None
     sspec = seq_axes[0] if seq_axes else None
     data_axes = batch_axes + seq_axes
+    w_spec = P(TP_AXIS, None) if tp_axes else P(None, None)
 
     def f(h, w, lab, slen, ns):
-        tp_idx = jax.lax.axis_index(TP_AXIS)
-        v_local = w.shape[0]
+        if tp_axes:
+            axis_name = TP_AXIS
+            vocab_start = jax.lax.axis_index(TP_AXIS) * w.shape[0]
+        else:
+            axis_name = None
+            vocab_start = 0
         n = h.shape[0] * h.shape[1]
         sums = _sums(
             h.reshape(n, -1), w, lab.reshape(n), slen.reshape(n),
-            chunk_size, TP_AXIS, tp_idx * v_local, ignore_index, impl,
+            chunk_size, axis_name, vocab_start, ignore_index, impl,
         )
         if data_axes:
             sums = tuple(jax.lax.psum(s, data_axes) for s in sums)
@@ -361,7 +375,7 @@ def _vocab_parallel_ce(
         mesh=mesh,
         in_specs=(
             P(bspec, sspec, None),
-            P(TP_AXIS, None),
+            w_spec,
             P(bspec, sspec),
             P(bspec, sspec),
             P(),
