@@ -363,3 +363,33 @@ def test_dual_stream_generate_audio_after_delay(tiny):
     # exactly on blank for every post-delay step
     assert (audio[:, delay:] != blank_id).any()
     assert np.asarray(text).shape == (B, N)
+
+
+def test_dual_stream_chunked_prefill_matches_single_shot(tiny):
+    """prefill_chunk on the dual-stream decode must reproduce the
+    single-shot prefill exactly (both text and audio streams)."""
+    from touchnet_tpu.models.kimi_audio.generate_kimi_audio import generate_dual
+
+    config, params = tiny
+    blank_id, eos_id = 7, 9
+    B, Tp = 2, 13  # pads to 3 chunks of 5
+    rng = np.random.default_rng(1)
+    embed_w = params["model"]["embed_tokens"]["weight"]
+    prompt = jnp.take(
+        embed_w,
+        jnp.asarray(rng.integers(10, 90, size=(B, Tp), dtype=np.int32)),
+        axis=0,
+    )
+    plen = jnp.asarray([Tp, Tp - 4], jnp.int32)
+    want = generate_dual(
+        params, config, prompt, plen, 6,
+        blank_id=blank_id, eos_id=eos_id, output_type="both",
+        compute_dtype=jnp.float32,
+    )
+    got = generate_dual(
+        params, config, prompt, plen, 6,
+        blank_id=blank_id, eos_id=eos_id, output_type="both",
+        compute_dtype=jnp.float32, prefill_chunk=5,
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))

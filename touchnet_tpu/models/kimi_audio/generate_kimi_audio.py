@@ -59,6 +59,7 @@ def forward_step_dual(
     *,
     write_pos=None,
     flash_prefill: bool = False,
+    prefill_ctx=None,  # SCALAR chunk offset: chunked prefill (see llama)
     logits_indices: Optional[jax.Array] = None,
     decode_valid=None,
 ):
@@ -80,10 +81,17 @@ def forward_step_dual(
     use_flash_decode, attn_mask, block_map_ref = decode_attention_setup(
         tc, cache, Tq, decode_valid
     )
+    prefill_args = None
+    if prefill_ctx is not None and Tq > 1:
+        from touchnet_tpu.models.llama.inference_llama import (
+            make_prefill_args,
+        )
+
+        prefill_args = make_prefill_args(B, Tq, cache.kv.shape[3], prefill_ctx)
     layer = make_cached_layer_fn(
         tc, B, Tq, position_ids, valid_len, scale, write_pos, attn_mask,
         start_pos, use_flash_decode, decode_valid, flash_prefill,
-        compute_dtype, block_map_ref,
+        compute_dtype, block_map_ref, prefill_args=prefill_args,
     )
 
     L = tc.num_hidden_layers
@@ -135,6 +143,7 @@ def generate_dual(
     audio_delay_tokens: Optional[int] = None,
     seed: int = 0,
     compute_dtype=jnp.bfloat16,
+    prefill_chunk: Optional[int] = None,
 ):
     """Returns (text_tokens [B, N], audio_tokens [B, N]) — blank-padded.
 
@@ -150,15 +159,57 @@ def generate_dual(
         config.kimia_mimo_audiodelaytokens
         if audio_delay_tokens is None else audio_delay_tokens
     )
-    B, Tp, _ = prompt_embeds.shape
+    B, Tp, E = prompt_embeds.shape
     embed_w = params["model"]["embed_tokens"]["weight"]
+    if prefill_chunk:
+        # chunked prefill over BOTH stacks (same contract as llama
+        # generate: one compiled [B, C] program per prompt length class)
+        C = min(prefill_chunk, Tp)
+        if jax.default_backend() == "tpu":
+            C = -(-C // 128) * 128  # Mosaic 128-lane block rule
+        pad = (-Tp) % C
+        if pad:
+            prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, pad), (0, 0)))
+        Tp = Tp + pad
     cache = init_dual_cache(config, B, Tp + max_new_tokens, compute_dtype)
 
-    text_logits, audio_logits, cache = forward_step_dual(
-        params, prompt_embeds, cache, jnp.zeros((B,), jnp.int32), config,
-        compute_dtype, write_pos=jnp.asarray(0, jnp.int32),
-        flash_prefill=True, logits_indices=prompt_len - 1,
-    )
+    if prefill_chunk:
+        nchunks = Tp // C
+        last_idx = prompt_len - 1
+        Vt = params["lm_head"]["weight"].shape[0]
+        Va = params["mimo_output"]["weight"].shape[0]
+
+        def chunk_body(i, carry):
+            kv, tl, al = carry
+            off = i * C
+            emb = jax.lax.dynamic_slice(prompt_embeds, (0, off, 0), (B, C, E))
+            tl2, al2, new_cache = forward_step_dual(
+                params, emb, KVCache(kv),
+                jnp.full((B,), off, jnp.int32), config, compute_dtype,
+                write_pos=off, prefill_ctx=off,
+                logits_indices=jnp.clip(last_idx - off, 0, C - 1),
+            )
+            in_chunk = ((last_idx >= off) & (last_idx < off + C))[:, None]
+            return (
+                new_cache.kv,
+                jnp.where(in_chunk, tl2[:, 0], tl),
+                jnp.where(in_chunk, al2[:, 0], al),
+            )
+
+        kv, tlast, alast = jax.lax.fori_loop(
+            0, nchunks, chunk_body,
+            (cache.kv, jnp.zeros((B, Vt), jnp.float32),
+             jnp.zeros((B, Va), jnp.float32)),
+        )
+        cache = KVCache(kv)
+        text_logits = tlast[:, None]
+        audio_logits = alast[:, None]
+    else:
+        text_logits, audio_logits, cache = forward_step_dual(
+            params, prompt_embeds, cache, jnp.zeros((B,), jnp.int32), config,
+            compute_dtype, write_pos=jnp.asarray(0, jnp.int32),
+            flash_prefill=True, logits_indices=prompt_len - 1,
+        )
 
     tw = max(text_sampler.repetition_window, 1)
     aw = max(audio_sampler.repetition_window, 1)

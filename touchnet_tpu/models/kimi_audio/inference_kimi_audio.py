@@ -139,6 +139,7 @@ def main(argv=None):
                 params, model_config, prompt, jnp.asarray(lens),
                 config.max_length, blank_id=blank_id, eos_id=eos_id,
                 output_type="both", compute_dtype=dtype,
+                prefill_chunk=config.inference_prefill_chunk or None,
             )
             audio_codes = np.asarray(audio_out)
         else:
