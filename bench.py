@@ -342,7 +342,19 @@ def main():
         tie_word_embeddings=True,
         attn_implementation="flash" if jax.default_backend() == "tpu" else "eager",
     )
-    r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10, remat_mode="op")
+    try:
+        r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10, remat_mode="op")
+    except Exception as e:  # noqa: BLE001
+        # the primary metric must never sink: if the grouped-IO flash path
+        # (attn_implementation="flash") fails on this chip/runtime, fall
+        # back to the bthd static-grid kernels and SAY SO in the output
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, attn_implementation="flash_static"
+        )
+        r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10, remat_mode="op")
+        r8k["attn_fallback"] = f"flash_static ({type(e).__name__}: {e})"[:200]
 
     def secondary(fn, *args, **kw):
         try:
