@@ -293,12 +293,15 @@ def make_cached_layer_fn(
             # DMA-skips whole dead blocks, so each chunk's cost scales with
             # the written prefix, not the cache capacity. One [B, C]
             # program serves every chunk of every prompt length.
-            from touchnet_tpu.ops.attention import flash_prefill_grouped
+            from touchnet_tpu.ops.attention import (
+                _regroup_q,
+                _ungroup_q,
+                flash_prefill_grouped,
+            )
 
             p_ctx, q_seg, kv_seg, bmap, bq, bkv = prefill_args
-            qg = q.reshape(B, Tq, Hkv, H // Hkv, Dh).transpose(0, 2, 3, 1, 4)
             attn_g = flash_prefill_grouped(
-                qg,
+                _regroup_q(q, Hkv),
                 kv_cache_l[..., :Dh].astype(q.dtype),
                 kv_cache_l[..., Dh:].astype(q.dtype),
                 q_seg,
@@ -309,7 +312,7 @@ def make_cached_layer_fn(
                 block_kv=bkv,
                 block_map=bmap,
             )
-            attn = attn_g.transpose(0, 3, 1, 2, 4).reshape(B, Tq, H, Dh)
+            attn = _ungroup_q(attn_g)
         elif flash_prefill and Tq > 1:
             # the chunk is self-contained (start_pos 0): attend within the
             # fresh k/v via the packed flash kernel — the dense
@@ -438,11 +441,14 @@ def generate(
             )
             return new_cache.kv, last_logits
 
+        vocab = (
+            params["model"]["embed_tokens"]["weight"].shape[0]
+            if config.tie_word_embeddings
+            else params["lm_head"]["weight"].shape[0]
+        )
         kv, last_logits = jax.lax.fori_loop(
             0, nchunks, chunk_body,
-            (cache.kv, jnp.zeros((B, params["model"]["embed_tokens"][
-                "weight"].shape[0] if config.tie_word_embeddings
-                else params["lm_head"]["weight"].shape[0]), jnp.float32)),
+            (cache.kv, jnp.zeros((B, vocab), jnp.float32)),
         )
         cache = KVCache(kv)
     else:
