@@ -327,8 +327,44 @@ def loader_headroom(model_tok_s):
     }
 
 
+def acquire_backend(attempts=5, base_delay_s=10.0):
+    """Initialize the JAX backend with retry-with-backoff.
+
+    A transient tunnel outage at backend init zeroed round 3's entire bench
+    record (BENCH_r03.json rc=1: "TPU backend setup/compile error
+    (Unavailable)" raised from jax.default_backend() before any fallback
+    could run). Retry ~5 times over ~3 minutes; on final failure return
+    None so main() can emit the standard JSON artifact with value=null and
+    an error field instead of a traceback.
+    """
+    last_err = None
+    for i in range(attempts):
+        try:
+            backend = jax.default_backend()
+            jax.devices()
+            return backend
+        except Exception as e:  # noqa: BLE001 — any init error is retryable
+            last_err = e
+            if i < attempts - 1:
+                time.sleep(base_delay_s * (1.5 ** i))
+    return last_err
+
+
 def main():
     from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+
+    backend = acquire_backend()
+    if not isinstance(backend, str):
+        # Backend never came up: emit a parseable artifact, not a traceback.
+        print(json.dumps({
+            "metric": "mfu_llama500m_packed8k_1chip",
+            "value": None,
+            "unit": "%",
+            "vs_baseline": None,
+            "error": f"backend init failed after retries: "
+                     f"{type(backend).__name__}: {backend}"[:300],
+        }))
+        return
 
     # ~0.5B: the largest that fits one 16-GiB v5e chip with fp32 master
     # params + fp32 Adam moments and packed-8k activations
@@ -340,21 +376,34 @@ def main():
         num_attention_heads=24,
         num_key_value_heads=8,
         tie_word_embeddings=True,
-        attn_implementation="flash" if jax.default_backend() == "tpu" else "eager",
+        attn_implementation="flash" if backend == "tpu" else "eager",
     )
     try:
-        r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10, remat_mode="op")
-    except Exception as e:  # noqa: BLE001
-        # the primary metric must never sink: if the grouped-IO flash path
-        # (attn_implementation="flash") fails on this chip/runtime, fall
-        # back to the bthd static-grid kernels and SAY SO in the output
-        import dataclasses
+        try:
+            r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10,
+                            remat_mode="op")
+        except Exception as e:  # noqa: BLE001
+            # the primary metric must never sink: if the grouped-IO flash path
+            # (attn_implementation="flash") fails on this chip/runtime, fall
+            # back to the bthd static-grid kernels and SAY SO in the output
+            import dataclasses
 
-        config = dataclasses.replace(
-            config, attn_implementation="flash_static"
-        )
-        r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10, remat_mode="op")
-        r8k["attn_fallback"] = f"flash_static ({type(e).__name__}: {e})"[:200]
+            config = dataclasses.replace(
+                config, attn_implementation="flash_static"
+            )
+            r8k = timed_mfu(config, batch=1, seqlen=8192, iters=10,
+                            remat_mode="op")
+            r8k["attn_fallback"] = f"flash_static ({type(e).__name__}: {e})"[:200]
+    except Exception as e:  # noqa: BLE001 — a mid-run outage must still
+        # leave the driver a parseable artifact, not a traceback
+        print(json.dumps({
+            "metric": "mfu_llama500m_packed8k_1chip",
+            "value": None,
+            "unit": "%",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        return
 
     def secondary(fn, *args, **kw):
         try:
@@ -384,7 +433,7 @@ def main():
         "detail": {
             **{k: v for k, v in r8k.items() if k != "mfu_pct"},
             "device": jax.devices()[0].device_kind,
-            "backend": jax.default_backend(),
+            "backend": backend,
             "packed32k": {
                 "metric": "mfu_llama500m_packed32k_1chip",
                 "value": r32k["mfu_pct"],

@@ -252,3 +252,55 @@ def test_pallas_impl_dp_only_sharded_matches_golden():
         fh, fw = jax.jit(jax.grad(fused, argnums=(0, 1)))(hidden, head_w)
     np.testing.assert_allclose(fh, gh, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(fw, gw, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_impl_rejects_gspmd_body():
+    """Explicit impl='pallas' in the nothing-divides GSPMD branch must raise
+    (a pallas_call is an opaque custom call GSPMD cannot split) instead of
+    silently running replicated — advisor finding r3."""
+    # world_size 8 with B=2, T=64 and a vocab of V+1 (odd): nothing divides
+    dims = ParallelDims(
+        dp_replicate=1, dp_shard=4, cp=2, tp=1, pp=1, world_size=8,
+    )
+    mesh = dims.build_mesh()
+    hidden, head_w, labels, slen, ns = _inputs(seed=11, vocab=V + 1)
+    hidden = hidden[:, :63]  # T=63: no axis divides 63 or B=2 x cp layout
+    labels, slen = labels[:, :63], slen[:, :63]
+    with mesh, pytest.raises(ValueError, match="GSPMD"):
+        fused_linear_cross_entropy(
+            hidden, head_w, labels, slen, ns,
+            mesh=mesh, compute_dtype=jnp.float32, impl="pallas",
+        )
+
+
+def test_pallas_rows_zero_sentence_lens_on_ignored_positions():
+    """sentence_lens == 0 on an ignored (-100) position must not NaN the
+    fused path: the loader's pad rows may carry slen 0 — advisor finding
+    r3 (_rows_sums divided before masking)."""
+    hidden, head_w, labels, slen, ns = _inputs_pallas(seed=12)
+    slen = np.asarray(slen).copy()
+    slen[np.asarray(labels) == -100] = 0
+    slen = jnp.asarray(slen)
+    g = _golden(hidden, head_w, labels, jnp.maximum(slen, 1), ns)
+    f = fused_linear_cross_entropy(
+        hidden, head_w, labels, slen, ns,
+        compute_dtype=jnp.float32, impl="pallas",
+    )
+    for fv, gv in zip(f, g):
+        assert np.isfinite(np.asarray(fv)).all()
+        np.testing.assert_allclose(fv, gv, rtol=1e-5)
+
+
+def test_scan_zero_sentence_lens_on_ignored_positions():
+    hidden, head_w, labels, slen, ns = _inputs(seed=13)
+    slen = np.asarray(slen).copy()
+    slen[np.asarray(labels) == -100] = 0
+    slen = jnp.asarray(slen)
+    g = _golden(hidden, head_w, labels, jnp.maximum(slen, 1), ns)
+    f = fused_linear_cross_entropy(
+        hidden, head_w, labels, slen, ns,
+        compute_dtype=jnp.float32, impl="scan",
+    )
+    for fv, gv in zip(f, g):
+        assert np.isfinite(np.asarray(fv)).all()
+        np.testing.assert_allclose(fv, gv, rtol=1e-5)

@@ -70,7 +70,10 @@ def run_elastic(cmd, max_restarts: int = 3, backoff_s: float = 5.0) -> int:
             attempt += 1
     finally:
         for sig, h in prev.items():
-            signal.signal(sig, h)
+            # getsignal() returns None for handlers not installed from
+            # Python (e.g. when embedded); signal(sig, None) raises
+            if h is not None:
+                signal.signal(sig, h)
 
 
 def main(argv=None):

@@ -3,9 +3,6 @@
 # qwen2_audio, kimi_audio).
 
 import touchnet_tpu.models.llama  # noqa: F401
-
-for _name in ("touch_audio", "qwen2_audio", "kimi_audio"):
-    try:  # families land incrementally; tolerate partial builds
-        __import__(f"touchnet_tpu.models.{_name}")
-    except ImportError:
-        pass
+import touchnet_tpu.models.touch_audio  # noqa: F401
+import touchnet_tpu.models.qwen2_audio  # noqa: F401
+import touchnet_tpu.models.kimi_audio  # noqa: F401

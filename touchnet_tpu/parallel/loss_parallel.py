@@ -61,6 +61,13 @@ def _pick_impl(
     partitioner cannot split — only per-device bodies inside shard_map or
     unsharded single-device programs may auto-pick it)."""
     if impl in ("scan", "pallas"):
+        if impl == "pallas" and not pallas_safe:
+            raise ValueError(
+                "impl='pallas' requested for a body that would run under "
+                "GSPMD on sharded global arrays; the pallas_call is an "
+                "opaque custom call the SPMD partitioner cannot split — "
+                "use impl='scan' or None (auto)"
+            )
         if impl == "pallas" and not _fused_ce.kernel_applicable(n, e, v_local):
             raise ValueError(
                 f"impl='pallas' requested but shapes (N={n}, E={e}, "
@@ -108,7 +115,11 @@ def _rows_sums(
         )
         ai = jax.lax.pmin(cand, axis_name)  # ties -> smallest global index
     ce = jnp.where(valid, lse - tl, 0.0)
-    inv_slen = 1.0 / sentence_lens.astype(jnp.float32)
+    # mask BEFORE dividing: an ignored position may carry sentence_lens == 0
+    # from the loader pad path; 0 * (1/0) would be NaN, not 0
+    inv_slen = jnp.where(
+        valid, 1.0 / jnp.maximum(sentence_lens, 1).astype(jnp.float32), 0.0
+    )
     return (
         jnp.sum(ce * inv_slen),
         jnp.sum(ce),
@@ -197,7 +208,13 @@ def _chunked_sums(
         labels = jnp.pad(labels, (0, pad), constant_values=ignore_index)
         sentence_lens = jnp.pad(sentence_lens, (0, pad), constant_values=1)
     nc = (n + pad) // chunk
-    inv_slen = 1.0 / sentence_lens.astype(jnp.float32)
+    # mask BEFORE dividing (see _rows_sums): ignored positions may carry
+    # sentence_lens == 0 from the loader pad path
+    inv_slen = jnp.where(
+        labels != ignore_index,
+        1.0 / jnp.maximum(sentence_lens, 1).astype(jnp.float32),
+        0.0,
+    )
     xs = (
         hidden.reshape(nc, chunk, d),
         labels.reshape(nc, chunk),
