@@ -24,6 +24,13 @@ num_workers=12
 prefetch=12
 num_mel_bins=80
 checkpoint_step=640000
+# offline_tokenize=true builds audio+metainfo+audiotoken shards in stage 0:
+# BEST-RQ codes are computed ONCE at data-prep time (bin/make_data.py
+# audiotoken builder) and the training datapipe reads them instead of
+# re-running the projection + codebook argmin in every epoch's CPU workers.
+# Requires audio_speed_perturb=false (codes align to unperturbed frames;
+# the decoder enforces this, data/datapipe.py audio+metainfo+audiotoken).
+offline_tokenize=false
 
 . "$(dirname "$0")/../../../parse_options.sh"
 
@@ -51,7 +58,26 @@ if [ "${stage}" -le -1 ] && [ "${stop_stage}" -ge -1 ]; then
 fi
 
 if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
-  echo "$0: stage 0: wav jsonl -> TouchDataset audio+metainfo shards"
+  echo "$0: stage 0: wav jsonl -> TouchDataset shards"
+  datatypes="audio+metainfo"
+  offline_args=()
+  if [ "${offline_tokenize}" = "true" ]; then
+    datatypes="audio+metainfo+audiotoken"
+    stack=$(echo "$exp_id" | grep -oP 'stack\d+' | grep -oP '\d+')
+    offline_args=(
+      --tokenizer_type BestRQTokenizer
+      --tokenizer_bestrq_vocab_size 1024
+      --tokenizer_bestrq_input_size "$((stack * num_mel_bins))"
+      --tokenizer_bestrq_emb_size 16
+      --tokenizer_bestrq_init_seed "${seed}"
+      --audio_feat_type fbank
+      --audiofeat_num_mel_bins "${num_mel_bins}"
+      --audiofeat_dither 0.0
+      --audiofeat_stack_length "$(echo "$exp_id" | grep -oP 'stack\d+' | grep -oP '\d+')"
+      --audiofeat_stride_length "$(echo "$exp_id" | grep -oP 'stride\d+' | grep -oP '\d+')"
+      --audiofeat_normalize true
+    )
+  fi
   for x in ${train_set} ${dev_set} ${test_sets}; do
     if [ ! -f "data/${x}/data.list" ]; then
       mkdir -p "data/${x}"
@@ -60,7 +86,7 @@ if [ "${stage}" -le 0 ] && [ "${stop_stage}" -ge 0 ]; then
         --jsonl_path "${wenet_datalist_dir}/${x}/data.jsonl" \
         --num_utt_per_shard 2000 \
         --num_workers 64 \
-        --datatypes "audio+metainfo"
+        --datatypes "${datatypes}" "${offline_args[@]}"
     fi
   done
 fi
@@ -106,7 +132,7 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     --max_text_audio_ratio 1.0 \
     --min_text_audio_ratio 0.0005 \
     --audio_resample_rate 16000 \
-    --audio_speed_perturb true \
+    --audio_speed_perturb "$([ "${offline_tokenize}" = "true" ] && echo false || echo true)" \
     --audio_feat_type "fbank" \
     --audiofeat_spec_aug false \
     --audiofeat_spec_aug_num_t_mask 2 \

@@ -21,7 +21,14 @@ class MakeDataConfig:
     num_workers: int = field(default=10)
     datatypes: str = field(
         default="audio+metainfo",
-        metadata={"help": "metainfo | audio+metainfo | audio | audiotoken | texttoken"},
+        metadata={
+            "help": (
+                "'+'-combination of audio | metainfo | audiotoken | "
+                "texttoken (the reference's five modes all build; "
+                "audiotoken = offline BestRQ codes, e.g. "
+                "audio+metainfo+audiotoken for offline-tokenized pretrain)"
+            )
+        },
     )
 
 

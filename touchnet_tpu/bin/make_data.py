@@ -2,8 +2,15 @@
 # Dataset conversion CLI: jsonl -> sharded TouchDataset (.bin/.idx) + data.list.
 #
 # Capability parity: reference touchnet/bin/make_data.py:21-273 (DataBuilder,
-# ffmpeg audio decode to int16 mono PCM, texttoken/audio+metainfo builders,
-# multiprocessing pool over num_utt_per_shard chunks, data.list emission).
+# ffmpeg audio decode to int16 mono PCM, multiprocessing pool over
+# num_utt_per_shard chunks, data.list emission). The reference declares five
+# datatype choices (bin/__init__.py:50-61: metainfo, audio+metainfo, audio,
+# audiotoken, texttoken) but implements builders for only two; here every
+# declared mode builds, and any '+'-combination composes per-datatype writers
+# (e.g. "audio+metainfo+audiotoken" emits all three streams for one corpus).
+# "audiotoken" is the offline-BestRQ path: decode -> frontend (DataConfig
+# audiofeat_* params) -> low-frame-rate stack -> BestRQ codes, so audio
+# pretraining tokenizes the corpus ONCE instead of once per epoch per worker.
 # Audio decode prefers ffmpeg when present; wav files fall back to a pure
 # scipy reader so the pipeline works in ffmpeg-less environments.
 
@@ -17,6 +24,7 @@ from typing import Iterable, List, Optional, Type
 import numpy
 
 from touchnet_tpu.bin import MakeDataConfig
+from touchnet_tpu.data import DataConfig
 from touchnet_tpu.data.dataset import DType, IndexWriter
 from touchnet_tpu.tokenizer import TokenizerConfig
 from touchnet_tpu.tokenizer.tokenizer import build_tokenizer
@@ -110,61 +118,119 @@ def load_audio(file: str, sr: int = 16000, start_time: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
-# Shard builders (one per datatypes value)
+# Shard builders: one writer per datatype, composed per the '+'-joined
+# datatypes string. Each writer is fed the parsed jsonl record (plus the
+# decoded PCM when the combination needs audio) and appends one item.
 # ---------------------------------------------------------------------------
 
+DATATYPE_NAMES = ("audio", "metainfo", "audiotoken", "texttoken")
 
-def build_texttoken(chunk, path_prefix, cur_chunk, num_chunks, conf, tok_conf,
-                    *args, **kwargs):
-    assert tok_conf.tokenizer_model is not None, "tokenizer_model required"
-    tokenizer = build_tokenizer(tok_conf)
-    builder = DataBuilder(
-        os.path.join(path_prefix, "texttoken.bin"),
-        DType.optimal_dtype(tokenizer.vocab_size),
-    )
+
+def _offline_audio_codes(pcm: numpy.ndarray, sample_rate: int,
+                         data_conf: DataConfig, tokenizer) -> numpy.ndarray:
+    """BestRQ codes for one utterance through the SAME generator chain the
+    online datapipe uses (frontend -> stack -> tokenize), so offline and
+    online tokenization are value-identical when the training config matches
+    the make_data config (no speed perturb / augment — BEST-RQ labels come
+    from clean speech; the online input-feature augments still apply)."""
+    from touchnet_tpu.data import functions
+
+    feat_fn = {
+        "fbank": functions.audio_compute_fbank,
+        "mfcc": functions.audio_compute_mfcc,
+        "log_mel_spectrogram": functions.audio_compute_log_mel_spectrogram,
+    }[data_conf.audio_feat_type]
+    sample = {
+        "waveform": (pcm.astype(numpy.float32) / 32768.0)[None, :],
+        "sample_rate": sample_rate,
+    }
+    sample = next(feat_fn(iter([sample]), data_conf))
+    sample = next(functions.audiofeat_stack(iter([sample]), data_conf))
+    return numpy.asarray(tokenizer.tokenize(sample["audiofeat"]), numpy.int32)
+
+
+def build_shard(chunk, path_prefix, cur_chunk, num_chunks, conf, tok_conf,
+                data_conf, *args, **kwargs):
+    """Build one shard dir holding a .bin/.idx pair per requested datatype."""
+    datatypes = conf.datatypes.split("+")
+    tokenizer = None
+    if "texttoken" in datatypes or "audiotoken" in datatypes:
+        if tok_conf.tokenizer_type == "HuggingFaceTokenizer":
+            assert tok_conf.tokenizer_model is not None, \
+                "tokenizer_model required"
+        tokenizer = build_tokenizer(tok_conf)
+
+    builders = {}
+    if "audio" in datatypes:
+        builders["audio"] = DataBuilder(
+            os.path.join(path_prefix, "audio.bin"), numpy.int16
+        )
+    if "metainfo" in datatypes:
+        builders["metainfo"] = DataBuilder(
+            os.path.join(path_prefix, "metainfo.bin"), numpy.uint8
+        )
+    if "audiotoken" in datatypes:
+        builders["audiotoken"] = DataBuilder(
+            os.path.join(path_prefix, "audiotoken.bin"),
+            DType.optimal_dtype(tokenizer.vocab_size),
+        )
+    if "texttoken" in datatypes:
+        builders["texttoken"] = DataBuilder(
+            os.path.join(path_prefix, "texttoken.bin"),
+            DType.optimal_dtype(tokenizer.vocab_size),
+        )
+
+    needs_audio = "audio" in datatypes or "audiotoken" in datatypes
     logger.info(f"Processing {path_prefix} {cur_chunk}/{num_chunks}")
     for line in chunk:
         try:
             record = json.loads(line.strip())
-            if not record["text"]:
-                continue
-            # bos/eos are added by the batchers, not here
-            ids = tokenizer.tokenize(record["text"], add_special_tokens=False)
+            items = {}
+            if needs_audio:
+                pcm = load_audio(record["wav"], conf.audio_resample)
+                record["sample_rate"] = conf.audio_resample
+                if "audio" in builders:
+                    items["audio"] = pcm
+                if "audiotoken" in builders:
+                    items["audiotoken"] = _offline_audio_codes(
+                        pcm, conf.audio_resample, data_conf, tokenizer
+                    )
+            if "texttoken" in builders:
+                if not record["text"]:
+                    continue
+                # bos/eos are added by the batchers, not here
+                items["texttoken"] = numpy.asarray(
+                    tokenizer.tokenize(record["text"], add_special_tokens=False),
+                    numpy.int64,
+                )
+            if "metainfo" in builders:
+                blob = json.dumps(
+                    record, ensure_ascii=False
+                ).strip().encode("utf-8")
+                items["metainfo"] = numpy.frombuffer(
+                    blob, dtype=numpy.uint8
+                ).copy()
         except Exception as ex:
             logger.warning(f"skipping bad record ({ex}): {line[:200]}")
             continue
-        builder.add_item(numpy.asarray(ids, dtype=numpy.int64))
-        builder.end_document()  # one sentence per document
-    builder.finalize(os.path.join(path_prefix, "texttoken.idx"))
+        for name, arr in items.items():
+            builders[name].add_item(arr)
+            builders[name].end_document()  # one sentence per document
+    for name, b in builders.items():
+        b.finalize(os.path.join(path_prefix, f"{name}.idx"))
+
+
+# Back-compat aliases (pre-r4 API; tests and external callers may import)
+def build_texttoken(chunk, path_prefix, cur_chunk, num_chunks, conf, tok_conf,
+                    *args, **kwargs):
+    return build_shard(chunk, path_prefix, cur_chunk, num_chunks, conf,
+                       tok_conf, DataConfig())
 
 
 def build_audio_and_metainfo(chunk, path_prefix, cur_chunk, num_chunks, conf,
-                             *args, **kwargs):
-    audio_b = DataBuilder(os.path.join(path_prefix, "audio.bin"), numpy.int16)
-    meta_b = DataBuilder(os.path.join(path_prefix, "metainfo.bin"), numpy.uint8)
-    logger.info(f"Processing {path_prefix} {cur_chunk}/{num_chunks}")
-    for line in chunk:
-        try:
-            record = json.loads(line.strip())
-            pcm = load_audio(record["wav"], conf.audio_resample)
-            record["sample_rate"] = conf.audio_resample
-            blob = json.dumps(record, ensure_ascii=False).strip().encode("utf-8")
-            meta = numpy.frombuffer(blob, dtype=numpy.uint8).copy()
-        except Exception as ex:
-            logger.warning(f"skipping bad record ({ex}): {line[:200]}")
-            continue
-        audio_b.add_item(pcm)
-        meta_b.add_item(meta)
-        audio_b.end_document()
-        meta_b.end_document()
-    audio_b.finalize(os.path.join(path_prefix, "audio.idx"))
-    meta_b.finalize(os.path.join(path_prefix, "metainfo.idx"))
-
-
-_BUILDERS = {
-    "audio+metainfo": build_audio_and_metainfo,
-    "texttoken": build_texttoken,
-}
+                             tok_conf=None, *args, **kwargs):
+    return build_shard(chunk, path_prefix, cur_chunk, num_chunks, conf,
+                       tok_conf or TokenizerConfig(), DataConfig())
 
 
 def _chunked(lines: List[str], size: int) -> Iterable[List[str]]:
@@ -178,11 +244,17 @@ def _log_pool_error(e):
 
 def main(argv=None):
     os.environ["PYTHONUNBUFFERED"] = "1"
-    conf, tok_conf = parse_args_into_dataclasses([MakeDataConfig, TokenizerConfig], argv)
+    conf, tok_conf, data_conf = parse_args_into_dataclasses(
+        [MakeDataConfig, TokenizerConfig, DataConfig], argv
+    )
     assert conf.jsonl_path is not None, "conf.jsonl_path cannot be None"
-    if conf.datatypes not in _BUILDERS:
-        raise NotImplementedError(f"unsupported datatypes {conf.datatypes!r}")
-    processor = _BUILDERS[conf.datatypes]
+    parts = conf.datatypes.split("+")
+    bad = [p for p in parts if p not in DATATYPE_NAMES]
+    if bad or len(set(parts)) != len(parts):
+        raise NotImplementedError(
+            f"unsupported datatypes {conf.datatypes!r}: expected a "
+            f"'+'-combination of {DATATYPE_NAMES}"
+        )
 
     with open(conf.jsonl_path, "r") as f:
         lines = [ln.strip() for ln in f]
@@ -197,7 +269,8 @@ def main(argv=None):
             os.makedirs(prefix, exist_ok=True)
             shards.append(prefix)
             pool.apply_async(
-                processor, (chunk, prefix, i, len(chunks), conf, tok_conf),
+                build_shard,
+                (chunk, prefix, i, len(chunks), conf, tok_conf, data_conf),
                 error_callback=_log_pool_error,
             )
         pool.close()

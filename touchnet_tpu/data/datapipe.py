@@ -103,6 +103,29 @@ def random_cut_bounds(
     return offset, length
 
 
+@register_decoder("audiotoken")
+def _decode_audiotoken(dataset, sample_idx, config, seed):
+    # pure audio-LM pretraining over offline BestRQ codes: the codes ARE the
+    # token stream, consumable by the causal_lm datapipe exactly like
+    # texttoken shards (reference declares the mode, bin/__init__.py:58,
+    # but never implemented a builder or reader for it)
+    ids = dataset.get(sample_idx, "audiotoken").tolist()
+    return dict(input_ids=ids, datatypes="audiotoken")
+
+
+@register_decoder("audio")
+def _decode_audio(dataset, sample_idx, config, seed):
+    # raw-audio-only shards (no transcript): the sample rate is not stored,
+    # so the config's resample target is taken as the decode-time rate
+    # (make_data decodes at --audio_resample)
+    pcm = dataset.get(sample_idx, "audio")
+    return {
+        "waveform": (pcm.astype(numpy.float32) / 32768.0)[None, :],
+        "sample_rate": config.audio_resample_rate,
+        "datatypes": "audio",
+    }
+
+
 @register_decoder("audio+metainfo")
 def _decode_audio_metainfo(dataset, sample_idx, config, seed):
     # audio pre-training / audio-text alignment, with optional partial reads
@@ -121,6 +144,43 @@ def _decode_audio_metainfo(dataset, sample_idx, config, seed):
     # int16 PCM -> float32 in [-1, 1], shaped [1, T]
     item["waveform"] = (pcm.astype(numpy.float32) / 32768.0)[None, :]
     item["datatypes"] = "audio+metainfo"
+    return item
+
+
+@register_decoder("audio+metainfo+audiotoken")
+def _decode_audio_metainfo_audiotoken(dataset, sample_idx, config, seed):
+    # offline-BestRQ audio pretraining: waveform + metainfo as above, plus the
+    # precomputed codes so workers skip the per-epoch tokenize (the projection
+    # + codebook argmin, the CPU-heaviest step after the frontend). Codes are
+    # frame-aligned to the FULL utterance, so the partial-read paths are
+    # incompatible — the codes for a cropped span cannot be sliced without
+    # re-deriving the frontend's frame math, and resampling or speed perturb
+    # changes the frame count entirely.
+    if (
+        config.dataset_load_audio_via_segments
+        or config.dataset_random_cut_audio
+        or config.audio_speed_perturb
+    ):
+        raise ValueError(
+            "audiotoken shards carry codes aligned to the full, unperturbed "
+            "utterance: disable dataset_load_audio_via_segments, "
+            "dataset_random_cut_audio and audio_speed_perturb, or train from "
+            "audio+metainfo shards with online tokenization"
+        )
+    item = _read_metainfo(dataset, sample_idx)
+    if item["sample_rate"] != config.audio_resample_rate:
+        raise ValueError(
+            f"audiotoken codes were computed at {item['sample_rate']} Hz but "
+            f"the config resamples to {config.audio_resample_rate} Hz — the "
+            "frame count would no longer match; rebuild the shards at the "
+            "training rate"
+        )
+    pcm = dataset.get(sample_idx, "audio")
+    item["waveform"] = (pcm.astype(numpy.float32) / 32768.0)[None, :]
+    item["audiotoken"] = dataset.get(sample_idx, "audiotoken").astype(
+        numpy.int32
+    )
+    item["datatypes"] = "audio+metainfo+audiotoken"
     return item
 
 

@@ -28,7 +28,7 @@ class LlamaConfig:
     attention_bias: bool = False
     mlp_bias: bool = False
     initializer_range: float = 0.02
-    attn_implementation: str = "flash"  # flash (Pallas dyn) | flash_static | eager
+    attn_implementation: str = "flash"  # flash (Pallas dyn bthd) | flash_static | flash_grouped | eager
     model_type: str = "llama"
 
     def __post_init__(self):

@@ -266,15 +266,26 @@ def _default_attn(config: LlamaConfig, block_q: int, block_kv: int) -> Callable:
         return lambda q, k, v, seg: flash_attention(
             q, k, v, seg, block_q=block_q, block_kv=block_kv, dynamic=False
         )
-    # "flash": kernel-native grouped IO — the projection einsums emit/consume
-    # the kernel layout directly, so no transpose epilogues run per layer
-    from touchnet_tpu.ops.attention import flash_attention_grouped
+    if config.attn_implementation == "flash_grouped":
+        # kernel-native grouped IO: the projection einsums emit/consume the
+        # kernel layout so no transpose epilogues run per layer. Component
+        # timings favored it, but the r4 STEP-level chip measurement
+        # rejected it as the default: 371.7 ms/step vs 344.4 ms for the
+        # dynamic bthd entry at the bench shape (B1 T8192, 535M) — the 5-D
+        # grouped einsum layouts cost XLA more than the epilogues it was
+        # already fusing. Kept as an opt-in for shapes where it may win.
+        from touchnet_tpu.ops.attention import flash_attention_grouped
 
-    fn = lambda q, k, v, seg: flash_attention_grouped(  # noqa: E731
-        q, k, v, seg, block_q=block_q, block_kv=block_kv
+        fn = lambda q, k, v, seg: flash_attention_grouped(  # noqa: E731
+            q, k, v, seg, block_q=block_q, block_kv=block_kv
+        )
+        fn.layout = "grouped"
+        return fn
+    # "flash" (default): dynamic-trip bthd kernels — fastest measured train
+    # path (r4 chip sweep: 344.4 ms vs 347.7 static vs 371.7 grouped)
+    return lambda q, k, v, seg: flash_attention(
+        q, k, v, seg, block_q=block_q, block_kv=block_kv, dynamic=True
     )
-    fn.layout = "grouped"
-    return fn
 
 
 def decoder_layer(

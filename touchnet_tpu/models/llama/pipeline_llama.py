@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from touchnet_tpu.models.common import linear, rms_norm, rope_frequencies
 from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
 from touchnet_tpu.models.llama.modeling_llama import decoder_layer
-from touchnet_tpu.ops.attention import flash_attention_grouped
+from touchnet_tpu.ops.attention import flash_attention
 from touchnet_tpu.parallel.pipeline import (
     make_layer_gather,
     parse_split_points,
@@ -83,16 +83,14 @@ def pipeline_forward(
     use_pallas = jax.default_backend() == "tpu"
 
     def attn(q, k, v, seg):
-        # inside shard_map: run the local kernel directly, with the
-        # kernel-native grouped IO (the stage's projection einsums emit
-        # [B,Hkv,G,T,D] and consume the grouped output — no per-layer
-        # transpose epilogues; falls back to the dense reference off-TPU)
-        return flash_attention_grouped(
+        # inside shard_map: run the local kernel directly (falls back to the
+        # dense reference off-TPU). bthd dynamic-trip kernels: the r4 chip
+        # sweep rejected the grouped-IO layout at step level (see
+        # modeling_llama._default_attn)
+        return flash_attention(
             q, k, v, seg, block_q=block_q, block_kv=block_kv,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, dynamic=True,
         )
-
-    attn.layout = "grouped"
 
     # specs of the stacked layer params (pp on the layer axis + fsdp on the
     # weight dims) drive both the shard_map in_specs and the per-layer gather

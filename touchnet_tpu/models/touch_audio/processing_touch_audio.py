@@ -24,6 +24,31 @@ from touchnet_tpu.tokenizer.tokenizer import BaseTokenizer, BestRQTokenizer
 IGNORE_ID = -100
 
 
+def _ntp_labels(sample, tokenizer: BestRQTokenizer) -> np.ndarray:
+    """Next-code labels for one utterance: position i predicts the code of
+    frame i+1. Prefers the shard's precomputed offline codes ("audiotoken"
+    datatype, bin/make_data.py) — skipping the per-epoch BestRQ projection +
+    codebook argmin, the CPU-heaviest step after the frontend — and falls
+    back to online tokenization. Codes may be LONGER than the (possibly
+    SpecTrim-shortened) features; offline codes then supervise the final
+    position too, where the online path must emit IGNORE."""
+    audio_len = sample["audiofeat"].shape[0]
+    codes = sample.get("audiotoken")
+    if codes is not None:
+        assert len(codes) >= audio_len, (
+            f"offline audiotoken codes ({len(codes)}) shorter than the "
+            f"features ({audio_len}): shards were built with a different "
+            "frontend config than this run"
+        )
+        lab = np.full(audio_len, IGNORE_ID, np.int32)
+        n = min(audio_len, len(codes) - 1)
+        lab[:n] = codes[1 : n + 1]
+        return lab
+    labels = tokenizer.tokenize(sample["audiofeat"])
+    assert len(labels) == audio_len
+    return np.asarray(list(labels[1:]) + [IGNORE_ID], np.int32)
+
+
 def _audio_buffer(config: DataConfig, pad_id=None):
     B = config.dataset_batchsize
     A = config.dataset_audio_seqlen
@@ -65,13 +90,11 @@ def batch_audio_packed(data, config: DataConfig, tokenizer: BestRQTokenizer):
                 cur_batch_idx += 1
                 cur_audio_idx = 0
                 cur_sentence_idx = 1
-        labels = tokenizer.tokenize(sample["audiofeat"])
-        assert len(labels) == audio_len
         sl = slice(cur_audio_idx, cur_audio_idx + audio_len)
         buffer["input_features"][cur_batch_idx, sl] = sample["audiofeat"]
-        buffer["labels"][cur_batch_idx, sl] = np.asarray(
-            labels[1:] + [IGNORE_ID], np.int32
-        )  # NTP: predict the next code; last output ignored
+        # NTP: predict the next code; last output ignored (unless offline
+        # codes cover it — _ntp_labels)
+        buffer["labels"][cur_batch_idx, sl] = _ntp_labels(sample, tokenizer)
         buffer["position_ids"][cur_batch_idx, sl] = np.arange(audio_len, dtype=np.int32)
         buffer["attention_mask"][cur_batch_idx, sl] = cur_sentence_idx
         buffer["sentence_lens"][cur_batch_idx, sl] = audio_len
@@ -155,10 +178,8 @@ def batch_audio(data, config: DataConfig, tokenizer: BestRQTokenizer):
         max_len = max(max_len, audio_len)
         if audio_len > config.dataset_audio_seqlen:
             continue
-        labels = tokenizer.tokenize(sample["audiofeat"])
-        assert len(labels) == audio_len
         feats = np.asarray(sample["audiofeat"], np.float32)
-        labels_arr = np.asarray(labels[1:] + [IGNORE_ID], np.int32)
+        labels_arr = _ntp_labels(sample, tokenizer)
         slens = np.full(audio_len, audio_len, np.int32)
         if (len(feats_buf) + 1) * max_len > budget and feats_buf:
             yield {

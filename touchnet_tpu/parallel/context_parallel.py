@@ -34,18 +34,21 @@ def make_sharded_attn_fn(
     rotate_method: str = "allgather",
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
-    layout: str = "grouped",
+    layout: str = "bthd",
 ):
     """Returns attn(q, k, v, segment_ids) -> out, partitioned over the mesh.
 
-    layout "grouped" (default, the kernel-native IO — see ops/attention.py
+    layout "bthd" (default): q [B, T, H, D], k/v [B, T, Hkv, D], dispatched
+    to the dynamic-trip kernels. The ring/alltoall rotate method always
+    uses this layout (the ring kernel owns its IO). Default since r4: the
+    step-level chip sweep rejected grouped IO (344.4 vs 371.7 ms/step at
+    the bench shape — see modeling_llama._default_attn).
+
+    layout "grouped" (opt-in, the kernel-native IO — see ops/attention.py
     flash_attention_grouped): q [B, Hkv, G, T, D], k/v [B, Hkv, S, D];
     sharding: batch on dp, kv-heads on tp, sequence on cp. The returned fn
     carries .layout = "grouped" so decoder layers emit/consume the kernel
     layout directly from their projection einsums.
-
-    layout "bthd": q [B, T, H, D], k/v [B, T, Hkv, D]. The ring/alltoall
-    rotate method always uses this layout (the ring kernel owns its IO).
 
     Both layouts shard k/v heads by tp, so the divisibility constraint
     (Hkv % tp == 0) is unchanged.
