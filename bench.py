@@ -268,9 +268,11 @@ def timed_whisper_mfu(iters):
 
 def loader_headroom(model_tok_s):
     """Native-frontend feeding rate vs the chip's consumption rate: audio
-    tokens/s one CPU worker can produce through fbank(80 mel) + 7/6
-    low-frame-rate stacking, and the resulting headroom multiple. ctypes
-    releases the GIL, so thread workers scale near-linearly."""
+    tokens/s CPU workers produce through fbank(80 mel) + 7/6 low-frame-rate
+    stacking, MEASURED at workers = 1/2/4 (not extrapolated from one
+    worker). ctypes releases the GIL, so thread workers scale with
+    available cores; the 24-core headroom is derived from the measured
+    per-worker efficiency at this host's core count."""
     from touchnet_tpu.data.native import fbank_native, native_available
     from touchnet_tpu.data import DataConfig
     from touchnet_tpu.data.functions import audiofeat_stack
@@ -305,25 +307,30 @@ def loader_headroom(model_tok_s):
 
     one_utt(0)  # warm
     cores = os.cpu_count() or 1
-    workers = min(4, cores)
-    # best-of-3: the measurement shares this host's core(s) with the jax
-    # runtime; a contended trial understates the loader by up to ~35%
-    tok_s1 = max(run(1, 20) for _ in range(3))
-    tok_sw = max(
-        run(workers, 20 * workers) for _ in range(3)
-    ) if workers > 1 else tok_s1
+    # best-of-3 per point: the measurement shares this host's core(s) with
+    # the jax runtime; a contended trial understates the loader by ~35%
+    curve = {
+        w: round(max(run(w, 20 * min(w, cores)) for _ in range(3)), 1)
+        for w in (1, 2, 4)
+    }
+    tok_s1 = curve[1]
+    # measured scaling efficiency at the deepest point this host can
+    # exercise (on a 1-core host every point measures the same core, so
+    # the curve is flat and efficiency-at-cores is 1.0 by construction)
+    w_eff = min(4, cores)
+    eff = min(1.0, curve[w_eff] / (w_eff * tok_s1)) if w_eff > 1 else 1.0
+    tok_s24 = tok_s1 * 24 * eff
     return {
         "available": True,
-        "loader_tokens_per_sec_1worker": round(tok_s1, 1),
-        "loader_tokens_per_sec_measured": round(tok_sw, 1),
-        "workers_measured": workers,
+        "loader_tokens_per_sec_by_workers": curve,
+        "workers_swept": [1, 2, 4],
         "host_cores": cores,
+        "scaling_efficiency_at_cores": round(eff, 3),
         "rtf_1worker": round(tok_s1 / (16000 / 160 / 6), 1),
-        # measured on THIS host's cores; production v5e hosts expose ~24
-        # cores per chip, scaling the 1-worker rate near-linearly (ctypes
-        # releases the GIL for the whole fbank computation)
-        "headroom_x_measured": round(tok_sw / model_tok_s, 2),
-        "headroom_x_per_worker": round(tok_s1 / model_tok_s, 2),
+        # production v5e hosts expose ~24 cores per chip; the projection
+        # applies the MEASURED per-worker efficiency, not an assumption
+        "headroom_x_measured": round(max(curve.values()) / model_tok_s, 2),
+        "headroom_x_24core_projected": round(tok_s24 / model_tok_s, 2),
     }
 
 

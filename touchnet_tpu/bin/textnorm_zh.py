@@ -26,7 +26,9 @@ _BIG_UNITS = ["", "万", "亿", "万亿"]
 
 # linguistic data (shared with the reference, which inherits it from
 # SpeechIO): filler chars and the lexical-儿 whitelist
-_FILLERS = "嗯呃啊唔噢喔哦诶欸"
+# exactly the reference's FILLER_CHARS (textnorm_zh.py:42) — removing more
+# (嗯/哦/...) than the reference silently shifts WER on SpeechIO-style evals
+_FILLERS = "呃啊"
 _ERHUA_WHITELIST = (
     "儿女|儿子|儿孙|女儿|儿媳|妻儿|胎儿|婴儿|新生儿|婴幼儿|幼儿|少儿|小儿|"
     "儿歌|儿童|儿科|托儿所|孤儿|儿戏|儿化|台儿庄|鹿儿岛|正儿八经|吊儿郎当|"
@@ -90,10 +92,14 @@ def number_to_hanzi(num_str: str, liang: bool = True) -> str:
         int_part, frac = num_str.split(".", 1)
     else:
         int_part, frac = num_str, None
-    n = int(int_part) if int_part else 0
-    if n == 0:
-        words = _DIGITS[0]
+    stripped = int_part.lstrip("0")
+    zero_led = bool(int_part) and len(stripped) != len(int_part)
+    if not stripped:
+        # reference num2chn get_value: all-zero multi-digit strings read as
+        # NOTHING ("00" -> ''); a single "0" (or empty) reads 零
+        words = "" if len(int_part) > 1 else _DIGITS[0]
     else:
+        n = int(stripped)
         groups = []
         while n > 0:
             groups.append(n % 10000)
@@ -109,8 +115,12 @@ def number_to_hanzi(num_str: str, liang: bool = True) -> str:
                 piece = _DIGITS[0] + piece
             parts.append(piece + _BIG_UNITS[gi])
         words = "".join(parts)
-        # idiomatic readings: ^一十X -> 十X
-        if words.startswith("一十"):
+        if zero_led:
+            # leading zeros read as ONE 零 prefix and block the ^一十 idiom
+            # (reference: "010" -> 零一十, "007" -> 零七, "01" -> 零一)
+            words = _DIGITS[0] + words
+        elif words.startswith("一十"):
+            # idiomatic readings: ^一十X -> 十X
             words = words[1:]
         if liang:
             words = _LIANG_RE.sub("两", words)
@@ -243,9 +253,15 @@ def remove_erhua(text: str) -> str:
             out.append(ch)
             i += 1
             continue
-        # keep iff some whitelist word covering this 儿 matches here
-        m = _ERHUA_RE.search(text, max(0, i - 12), i + 12)
-        if m is not None and m.start() <= i < m.end():
+        # keep iff some whitelist word COVERING this 儿 matches; search()
+        # alone returns the first window match (e.g. 女儿 earlier in
+        # 女儿和儿子), which may not be the covering one
+        keep = False
+        for m in _ERHUA_RE.finditer(text, max(0, i - 12), i + 12):
+            if m.start() <= i < m.end():
+                keep = True
+                break
+        if keep:
             out.append(ch)
         i += 1
     return "".join(out)

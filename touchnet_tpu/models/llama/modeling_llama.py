@@ -27,6 +27,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from touchnet_tpu.models.common import (
     apply_rope,
@@ -35,7 +36,6 @@ from touchnet_tpu.models.common import (
     normal_init,
     rms_norm,
     rope_frequencies,
-    swiglu,
 )
 from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
 from touchnet_tpu.ops.attention import flash_attention, packed_attention_reference
@@ -178,6 +178,18 @@ def _apply_remat(
                 jax.checkpoint_policies.save_only_these_names(
                     "flash_out", "flash_lse"
                 ),
+            ),
+            prevent_cse=False,
+        )
+    if remat_mode == "op_names":
+        # the same save set as "op", expressed through the decoder_layer's
+        # checkpoint_name tags instead of the dots-saveable analysis
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse",
+                "dot_q", "dot_k", "dot_v", "dot_o",
+                "dot_gate", "dot_up", "dot_down",
             ),
             prevent_cse=False,
         )
@@ -350,27 +362,37 @@ def decoder_layer(
         )
         h = h + shard_fn(proj, "btd")
     else:
-        q = linear(normed, sa["q_proj"]["weight"], sa["q_proj"].get("bias")).reshape(
-            B, T, H, Dh
-        )
-        k = linear(normed, sa["k_proj"]["weight"], sa["k_proj"].get("bias")).reshape(
-            B, T, Hkv, Dh
-        )
-        v = linear(normed, sa["v_proj"]["weight"], sa["v_proj"].get("bias")).reshape(
-            B, T, Hkv, Dh
-        )
+        # checkpoint_name tags mark the matmul outputs for the named "op"
+        # remat policy (_apply_remat): the save set is exactly what
+        # dots_with_no_batch_dims_saveable would pick in this body, but the
+        # name-based policy compiles where the dots-based one crashes the
+        # AOT compile helper at T >= 16k
+        q = checkpoint_name(
+            linear(normed, sa["q_proj"]["weight"], sa["q_proj"].get("bias")),
+            "dot_q",
+        ).reshape(B, T, H, Dh)
+        k = checkpoint_name(
+            linear(normed, sa["k_proj"]["weight"], sa["k_proj"].get("bias")),
+            "dot_k",
+        ).reshape(B, T, Hkv, Dh)
+        v = checkpoint_name(
+            linear(normed, sa["v_proj"]["weight"], sa["v_proj"].get("bias")),
+            "dot_v",
+        ).reshape(B, T, Hkv, Dh)
         q, k = apply_rope(q, k, cos_sin_posids, inv_freq)
         attn = attn_fn(q, k, v, segment_ids)
         h = h + shard_fn(
-            linear(attn.reshape(B, T, H * Dh), sa["o_proj"]["weight"]),
+            checkpoint_name(
+                linear(attn.reshape(B, T, H * Dh), sa["o_proj"]["weight"]),
+                "dot_o",
+            ),
             "btd",
         )
     normed = rms_norm(h, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
-    mlp_out = swiglu(
-        normed,
-        lp["mlp"]["gate_proj"]["weight"],
-        lp["mlp"]["up_proj"]["weight"],
-        lp["mlp"]["down_proj"]["weight"],
+    g = checkpoint_name(linear(normed, lp["mlp"]["gate_proj"]["weight"]), "dot_gate")
+    u = checkpoint_name(linear(normed, lp["mlp"]["up_proj"]["weight"]), "dot_up")
+    mlp_out = checkpoint_name(
+        linear(jax.nn.silu(g) * u, lp["mlp"]["down_proj"]["weight"]), "dot_down"
     )
     return h + shard_fn(mlp_out, "btd")
 
