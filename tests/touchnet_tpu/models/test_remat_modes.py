@@ -42,6 +42,8 @@ MODES = [
     ("op", "op"),
     ("op", "full_every_2"),
     ("op", "full_every_1"),
+    ("op_names", "op"),
+    ("op_small", "op"),
 ]
 
 

@@ -92,9 +92,15 @@ class TrainConfig:
     # --- activation checkpointing ---
     training_activation_checkpoint_mode: str = field(
         default="selective",
-        metadata={"help": "none | full | selective | op (op = save dot "
-                          "outputs AND flash residuals; fastest when the "
-                          "activations fit — +4.7pp MFU at packed-8k/v5e)"},
+        metadata={"help": "none | full | selective | op | op_small | "
+                          "op_names. op = save dot outputs AND flash "
+                          "residuals; fastest when the activations fit "
+                          "(+4.7pp MFU at packed-8k/v5e, exceeds 16 GiB at "
+                          "16k+ on the 535M bench model). op_small = flash "
+                          "residuals + q/k/v/o dots only (recompute the two "
+                          "big MLP matmuls) — the long-context point that "
+                          "fits where op does not. op_names = op's save set "
+                          "via name tags (diagnostic)"},
     )
     training_activation_checkpoint_selective_ac_option: str = field(
         default="2",
@@ -170,7 +176,7 @@ class TrainConfig:
             "training_mixed_precision_param": ("bfloat16", "float32", "float16"),
             "training_mixed_precision_reduce": ("float32", "bfloat16"),
             "training_activation_checkpoint_mode":
-                ("none", "full", "selective", "op"),
+                ("none", "full", "selective", "op", "op_small", "op_names"),
             "training_context_parallel_rotate_method":
                 ("allgather", "alltoall"),
             "training_fsdp_reshard_after_forward":

@@ -193,6 +193,21 @@ def _apply_remat(
             ),
             prevent_cse=False,
         )
+    if remat_mode == "op_small":
+        # long-context middle ground: save the flash residuals and the
+        # SMALL dots (q/k/v/o — ~5.7k elems/token vs op's ~17.9k); the
+        # backward recomputes only the two big MLP matmuls (gate/up),
+        # ~55% of selective's matmul recompute for ~32% of op's saved
+        # bytes. This is what fits 16 GiB at packed-32k where "op" (and
+        # every op_every_k hybrid k<=7) exceeds HBM.
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "flash_out", "flash_lse",
+                "dot_q", "dot_k", "dot_v", "dot_o",
+            ),
+            prevent_cse=False,
+        )
     return body
 
 
