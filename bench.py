@@ -235,7 +235,11 @@ def timed_whisper_mfu(iters):
     )
 
     def loss_fn(p, f):
-        h = we.forward(p, f, config, remat_mode="full")
+        # "op_small" saves the flash out/lse residuals plus the q/k/v/o
+        # dots — measured r4 B=4 ladder: full 426.7 ms (32.5% MFU) ->
+        # selective 391.4 (35.4%) -> op_small 373.6 (37.1%); op and
+        # op_names are compile-time HBM OOM next to the fp32 Adam state
+        h = we.forward(p, f, config, remat_mode="op_small")
         return jnp.mean(h.astype(jnp.float32) ** 2)
 
     def _step(p, s, f):

@@ -160,22 +160,44 @@ def forward(
             )
 
     def layer(h, lp):
+        # checkpoint_name tags reuse the llama decoder's canonical dot names
+        # (dot_q/k/v/o for attention, dot_gate/dot_down for the two MLP
+        # matmuls) so _apply_remat's op_small / op_names save-set policies
+        # apply to the tower unchanged
+        from jax.ad_checkpoint import checkpoint_name
+
         ln = lp["self_attn_layer_norm"]
         normed = layer_norm(h, ln["weight"], ln["bias"], config.layer_norm_eps)
         sa = lp["self_attn"]
-        q = linear(normed, sa["q_proj"]["weight"], sa["q_proj"]["bias"])
-        k = linear(normed, sa["k_proj"]["weight"])
-        v = linear(normed, sa["v_proj"]["weight"], sa["v_proj"]["bias"])
+        q = checkpoint_name(
+            linear(normed, sa["q_proj"]["weight"], sa["q_proj"]["bias"]),
+            "dot_q",
+        )
+        k = checkpoint_name(linear(normed, sa["k_proj"]["weight"]), "dot_k")
+        v = checkpoint_name(
+            linear(normed, sa["v_proj"]["weight"], sa["v_proj"]["bias"]),
+            "dot_v",
+        )
         q = q.reshape(B, T, heads, head_dim)
         k = k.reshape(B, T, heads, head_dim)
         v = v.reshape(B, T, heads, head_dim)
         attn = attn_fn(q, k, v, None).reshape(B, T, D)
-        h = h + linear(attn, sa["out_proj"]["weight"], sa["out_proj"]["bias"])
+        h = h + checkpoint_name(
+            linear(attn, sa["out_proj"]["weight"], sa["out_proj"]["bias"]),
+            "dot_o",
+        )
         ln = lp["final_layer_norm"]
         normed = layer_norm(h, ln["weight"], ln["bias"], config.layer_norm_eps)
-        mid = jax.nn.gelu(linear(normed, lp["fc1"]["weight"], lp["fc1"]["bias"]),
-                          approximate=False)
-        return h + linear(mid, lp["fc2"]["weight"], lp["fc2"]["bias"])
+        mid = jax.nn.gelu(
+            checkpoint_name(
+                linear(normed, lp["fc1"]["weight"], lp["fc1"]["bias"]),
+                "dot_gate",
+            ),
+            approximate=False,
+        )
+        return h + checkpoint_name(
+            linear(mid, lp["fc2"]["weight"], lp["fc2"]["bias"]), "dot_down"
+        )
 
     def body(carry, lp):
         lp = jax.tree.map(lambda a: a.astype(compute_dtype), lp)
