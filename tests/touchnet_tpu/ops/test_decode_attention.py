@@ -142,3 +142,28 @@ def test_decode_attention_ragged_skips_are_exact():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
     )
+
+
+def test_decode_attention_rank5_layer_indexed():
+    """The rank-5 cache entry (kernel-side layer indexing) must match the
+    rank-4 per-layer-slice entry for every layer — this is the hot decode
+    path that keeps the whole [L, B, Hkv, S, 2D] cache in place (r4: the
+    extract + reinsert moved ~2.1 GB/layer/step)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    L, B, H, Hkv, D, S = 3, 2, 4, 2, 64, 1024
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    kv5 = jnp.asarray(
+        rng.standard_normal((L, B, Hkv, S, 2 * D)) * 0.3, jnp.float32
+    )
+    plen = jnp.asarray([300, 700], jnp.int32)
+    base, last = 768, 771
+    for li in range(L):
+        want = decode_attention(
+            q, kv5[li], plen, base, last, interpret=True
+        )
+        got = decode_attention(
+            q, kv5, plen, base, last, interpret=True, layer_idx=li
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -228,13 +228,17 @@ def make_cached_layer_fn(
     inv_freq = rope_frequencies(config.head_dim, config.rope_theta,
                                 rope_scaling=config.rope_scaling)
 
+    # the flash-decode step with a uniform write slot never materializes a
+    # per-layer cache slice (all branch conditions are trace-time static)
+    hot_decode = use_flash_decode and write_pos is not None
+
     def layer(carry, lp):
         # the WHOLE cache rides the scan carry: lax.scan aliases carries in
         # place, so the per-layer dynamic_update_slice never copies the
         # [L, B, Hkv, S, 2*Dh] buffer (as scan xs/ys it is re-stacked —
         # a full cache copy per decode step)
         h, kv_all, li = carry
-        kv_cache_l = kv_all[li]
+        kv_cache_l = None if hot_decode else kv_all[li]
         lp = jax.tree.map(lambda x: x.astype(compute_dtype), lp)
         normed = rms_norm(h, lp["input_layernorm"]["weight"], config.rms_norm_eps)
         sa = lp["self_attn"]
@@ -262,10 +266,21 @@ def make_cached_layer_fn(
                 )(cache_l, new, start_pos)
         # pack K|V on lanes, [B, Tq, Hkv, 2D] -> cache layout [B, Hkv, Tq, 2D]
         kv_new = jnp.concatenate([k, v], axis=-1).transpose(0, 2, 1, 3)
-        kv_cache_l = upd(kv_cache_l, kv_new)
-        kv_all = jax.lax.dynamic_update_slice(
-            kv_all, kv_cache_l[None], (li, 0, 0, 0, 0)
-        )
+        if use_flash_decode and write_pos is not None:
+            # HOT DECODE PATH: write the one new slot straight into the
+            # rank-5 carry and let the kernel index the layer inside its
+            # block DMAs — the old extract (kv_all[li]) + reinsert moved
+            # ~2.1 GB per layer per step (r4 measured: 36 ms of a 57.6 ms
+            # B=32/8k decode step; the kernel itself is ~1.2 ms/layer)
+            kv_all = jax.lax.dynamic_update_slice(
+                kv_all, kv_new.astype(kv_all.dtype)[None],
+                (li, 0, 0, write_pos, 0),
+            )
+        else:
+            kv_cache_l = upd(kv_cache_l, kv_new)
+            kv_all = jax.lax.dynamic_update_slice(
+                kv_all, kv_cache_l[None], (li, 0, 0, 0, 0)
+            )
         if use_flash_decode:
             from touchnet_tpu.ops.decode_attention import decode_attention
 
@@ -275,12 +290,12 @@ def make_cached_layer_fn(
                 # fallback: per-call map (one XLA sort per LAYER — callers
                 # should precompute via make_decode_block_map instead)
                 else make_decode_block_map(
-                    kv_cache_l.shape[2], plen_, base_, last_
+                    kv_all.shape[3], plen_, base_, last_
                 )
             )
             attn = decode_attention(
-                q[:, 0], kv_cache_l, plen_, base_, last_, scale,
-                block_map=bmap_nlive,
+                q[:, 0], kv_all, plen_, base_, last_, scale,
+                block_map=bmap_nlive, layer_idx=li,
             )[:, None]
         elif prefill_args is not None and Tq > 1:
             # CHUNKED prefill: the chunk's queries attend the cache prefix

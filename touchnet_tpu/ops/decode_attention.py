@@ -80,7 +80,7 @@ def supported(head_dim: int, n_kv_heads: int) -> bool:
 
 def _kernel(
     plen_ref,  # SMEM [B] prompt lengths
-    lim_ref,   # SMEM [2] = [base, last]
+    lim_ref,   # SMEM [3] = [base, last, layer]
     bmap_ref,  # SMEM [B, nmax] per-row live block ids (block table)
     nlive_ref,  # SMEM [B] per-row live block count (ragged trip count)
     q_ref, kv_any, out_ref,
@@ -92,6 +92,7 @@ def _kernel(
     plen = plen_ref[bi]
     base = lim_ref[0]
     last = lim_ref[1]
+    li = lim_ref[2]  # layer index into the [L, B, Hkv, S, 2D] cache
     n = nlive_ref[bi]
 
     m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
@@ -107,7 +108,12 @@ def _kernel(
         jb = bmap_ref[bi, t]  # physical block for this row's t-th live block
         return [
             pltpu.make_async_copy(
-                kv_any.at[bi, pl.ds(i * hs, hs),
+                # indexing the LAYER inside the DMA is what lets decode keep
+                # the whole [L, B, Hkv, S, 2D] cache in place: the caller
+                # never materializes a per-layer slice (r4: the extract +
+                # reinsert moved ~2.1 GB/layer/step — 36 ms of a 57.6 ms
+                # decode step at B=32/8k)
+                kv_any.at[li, bi, pl.ds(i * hs, hs),
                           pl.ds(jb * block_s, block_s), :],
                 kv_buf.at[slot, pl.ds(i * hs, hs)], sem.at[slot, i],
             )
@@ -214,7 +220,7 @@ def live_block_map(prompt_len, base, last, block_s: int, n_blocks: int):
 
 def decode_attention(
     q: jax.Array,           # [B, H, D]
-    kv_cache: jax.Array,    # [B, Hkv, S, 2D] packed (K lanes, then V lanes)
+    kv_cache: jax.Array,    # [B, Hkv, S, 2D] or [L, B, Hkv, S, 2D] packed
     prompt_len: jax.Array,  # [B] int32
     base,                   # scalar: first decode slot
     last,                   # scalar: current decode slot (inclusive)
@@ -222,15 +228,25 @@ def decode_attention(
     block_s: int = 512,
     interpret: bool = False,
     block_map=None,  # optional precomputed (bmap, nlive) from live_block_map
+    layer_idx=None,  # scalar: layer into a rank-5 cache (kernel-side index)
 ) -> jax.Array:
     """Flash decode step over a packed ragged cache. Returns [B, H, D].
 
     ``block_map``: pass live_block_map(...) computed ONCE per decode step —
     computing it here is correct but runs an XLA sort per LAYER (the layer
-    scan re-traces this call), which costs more than the kernel itself."""
+    scan re-traces this call), which costs more than the kernel itself.
+
+    ``layer_idx``: with a rank-5 [L, B, Hkv, S, 2D] cache, the kernel
+    indexes the layer inside its own block DMAs — the caller passes the
+    WHOLE multi-layer cache and never materializes a per-layer slice
+    (which would move ~2x the layer's cache bytes per step)."""
     B, H, D = q.shape
-    Hkv, S = kv_cache.shape[1], kv_cache.shape[2]
-    D2 = kv_cache.shape[3]
+    if kv_cache.ndim == 4:
+        kv_cache = kv_cache[None]
+        layer_idx = 0
+    assert layer_idx is not None, "rank-5 cache requires layer_idx"
+    Hkv, S = kv_cache.shape[2], kv_cache.shape[3]
+    D2 = kv_cache.shape[4]
     assert D2 == 2 * D, (D2, D)
     G = H // Hkv
     if scale is None:
@@ -246,13 +262,15 @@ def decode_attention(
         # layer every step (measured: it single-handedly turned a 5x
         # kernel win into a loss). init_cache rounds max_len up to
         # DECODE_BLOCK so production callers never hit it.
-        kv_cache = jnp.pad(kv_cache, [(0, 0), (0, 0), (0, Sp - S), (0, 0)])
+        kv_cache = jnp.pad(
+            kv_cache, [(0, 0), (0, 0), (0, 0), (0, Sp - S), (0, 0)]
+        )
 
     # zero V lanes in the query: dot against packed kv then equals q.k
     qg = jnp.pad(q.reshape(B, Hkv, G, D), [(0, 0)] * 3 + [(0, D2 - D)])
     base = jnp.asarray(base, jnp.int32).reshape(())
     last = jnp.asarray(last, jnp.int32).reshape(())
-    lim = jnp.stack([base, last])
+    lim = jnp.stack([base, last, jnp.asarray(layer_idx, jnp.int32).reshape(())])
     if block_map is not None:
         bmap, nlive = block_map
         assert bmap.shape == (B, Sp // block_s), (bmap.shape, B, Sp // block_s)
