@@ -43,17 +43,21 @@ LOG2E = 1.4426950408889634
 _LANE = 128
 NEG_INF = -1e30
 
-# Default ON for long caches (measured on v5e, 535M model, ragged
-# prompts, e2e generate):
-#   B=32 8k ctx: flash 249.1 tok/s vs einsum 240.3 (+20-25%/decode step)
-#   B=8  8k ctx: flash 245.4 vs einsum 230.7
-#   B=8  2k ctx: flash 1025  vs einsum 1173  -> einsum below the threshold
-# Op-level micro at B=32/8k: kernel 1.16 ms vs einsum 6.25 ms (5.4x) —
-# the per-row block table skips each row's dead [plen, base) gap blocks,
-# which the dense einsum must stream every step. Short caches don't
-# amortize the kernel's launch/DMA overheads; the einsum path keeps them.
+# Default ON for every supported shape (measured r4 on v5e, 535M model,
+# ragged prompts, marginal e2e decode step with the zero-copy rank-5
+# cache path — host-read-synced timing):
+#   B=32 8k ctx: flash 9.55 ms/step (3349 batch tok/s); einsum-era 57.6 ms
+#   B=8  8k ctx: flash 3.32 ms/step
+#   B=8  2k ctx: flash 2.37 ms vs einsum 3.83 (1.6x)
+#   B=1  2k ctx: flash 1.74 ms vs einsum 1.83
+# The r3 "short caches stay on einsum" crossover (threshold 4096) was an
+# artifact of the per-layer cache extract both paths then paid; with the
+# kernel indexing the layer inside its own DMAs the flash path wins at
+# every measured point, so the context threshold is retired (kept as a
+# knob for A/B). The einsum path remains for unsupported shapes and
+# non-TPU backends.
 USE_FLASH_DECODE = True
-FLASH_DECODE_MIN_CONTEXT = 4096
+FLASH_DECODE_MIN_CONTEXT = 0
 
 # decode kernel sequence-block size; cache allocations round up to it so
 # the kernel's manual DMAs never need a padded cache copy
