@@ -270,6 +270,77 @@ def timed_whisper_mfu(iters):
     }
 
 
+def timed_decode_step(batch=32, context=7680, iters=40):
+    """Marginal KV-cache decode step at ragged long context: the rank-5
+    zero-copy cache path + ragged flash-decode kernel (r4; the r3 state
+    paid a ~2.1 GB/layer/step cache extract). Timing: iters chained
+    donated steps, ONE host read (a float() read costs a ~31 ms round
+    trip through the tunnel and block_until_ready can return early)."""
+    from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
+    from touchnet_tpu.models.llama import inference_llama as inf
+    from touchnet_tpu.models.llama.modeling_llama import init_params
+
+    config = LlamaConfig(
+        vocab_size=32768, hidden_size=1536, intermediate_size=6144,
+        num_hidden_layers=14, num_attention_heads=24, num_key_value_heads=8,
+        tie_word_embeddings=True, attn_implementation="flash",
+    )
+    B, Tp, E = batch, context, config.hidden_size
+    rng = np.random.default_rng(0)
+    prompt_len = jnp.asarray(rng.integers(Tp // 4, Tp, size=(B,)), jnp.int32)
+    params = jax.jit(lambda k: init_params(config, k))(jax.random.PRNGKey(0))
+    ids = jnp.asarray(rng.integers(3, config.vocab_size, (B, Tp)), jnp.int32)
+    embeds = jax.jit(
+        lambda p, i: jnp.take(p["model"]["embed_tokens"]["weight"], i, axis=0)
+        .astype(jnp.bfloat16)
+    )(params, ids)
+    C = 1024
+    max_len = Tp + 512
+
+    @jax.jit
+    def build_cache(p, pe):
+        cache = inf.init_cache(config, B, max_len, jnp.bfloat16)
+
+        def chunk_body(i, kv):
+            off = i * C
+            emb = jax.lax.dynamic_slice(pe, (0, off, 0), (B, C, E))
+            _, nc = inf.forward_step(
+                p, emb, inf.KVCache(kv), jnp.full((B,), off, jnp.int32),
+                config, write_pos=off, prefill_ctx=off,
+                logits_indices=jnp.zeros((B,), jnp.int32),
+            )
+            return nc.kv
+
+        return jax.lax.fori_loop(0, Tp // C, chunk_body, cache.kv)
+
+    kv = build_cache(params, embeds)
+    del embeds
+    step_fn = jax.jit(
+        lambda p, e, c, pl: inf.forward_step(
+            p, e, inf.KVCache(c), pl + 3, config,
+            write_pos=Tp + 3, decode_valid=(pl, Tp, Tp + 3),
+        ),
+        donate_argnums=(2,),
+    )
+    emb1 = jnp.zeros((B, 1, E), jnp.bfloat16)
+    lg, cache2 = step_fn(params, emb1, kv, prompt_len)
+    float(lg[0, 0, 0])
+    kv = cache2.kv
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lg, cache2 = step_fn(params, emb1, kv, prompt_len)
+        kv = cache2.kv
+    float(lg[0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    del kv, cache2, params
+    return {
+        "decode_step_ms": round(dt * 1000, 2),
+        "batch_tokens_per_sec": round(B / dt, 1),
+        "batch": B,
+        "context": Tp,
+    }
+
+
 def loader_headroom(model_tok_s):
     """Native-frontend feeding rate vs the chip's consumption rate: audio
     tokens/s CPU workers produce through fbank(80 mel) + 7/6 low-frame-rate
@@ -431,6 +502,7 @@ def main():
         remat_mode="op",
     )
     rwhisper = secondary(timed_whisper_mfu, iters=10)
+    rdecode = secondary(timed_decode_step)
     rloader = secondary(
         loader_headroom,
         raudio.get("tokens_per_sec_per_chip") or r8k["tokens_per_sec_per_chip"],
@@ -462,6 +534,13 @@ def main():
                 "value": rwhisper.get("mfu_pct"),
                 "unit": "%",
                 **{k: v for k, v in rwhisper.items() if k != "mfu_pct"},
+            },
+            "decode": {
+                "metric": "decode_step_ms_b32_ctx8k",
+                "value": rdecode.get("decode_step_ms"),
+                "unit": "ms",
+                **{k: v for k, v in rdecode.items()
+                   if k != "decode_step_ms"},
             },
             "loader": rloader,
         },
