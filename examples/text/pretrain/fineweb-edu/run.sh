@@ -43,7 +43,7 @@ else
 fi
 
 # exp id encodes the parallel layout + batch geometry (reference convention)
-exp_id="fineweb-edu_1x16384_fullac_cp1_tp1_dp8_pp1_flash_packloss_tieemb_linear2K1M_${model_config}_${exp_suffix}"
+exp_id="fineweb-edu_1x16384_opsmallac_cp1_tp1_dp8_pp1_flash_packloss_tieemb_linear2K1M_${model_config}_${exp_suffix}"
 cp=$(echo "$exp_id" | grep -oP 'cp\d+' | grep -oP '\d+')
 tp=$(echo "$exp_id" | grep -oP 'tp\d+' | grep -oP '\d+')
 dp=$(echo "$exp_id" | grep -oP 'dp\d+' | grep -oP '\d+')
@@ -144,7 +144,10 @@ if [ "${stage}" -le 2 ] && [ "${stop_stage}" -ge 2 ]; then
     --training_gc_freq 1000 \
     --training_deterministic false \
     --training_max_norm 1.0 \
-    --training_activation_checkpoint_mode "full" \
+    --training_activation_checkpoint_mode "op_small" \
+    `# op_small = measured-best at packed-16k on one 16 GiB chip (the
+     # reference recipe uses full AC); docs/long_context.md has the
+     # remat-policy-by-seqlen table — re-sweep per multi-chip topology` \
     --training_activation_checkpoint_selective_ac_option "op" \
     --training_enable_profiling true \
     --training_profiling_traces_folder "profile_traces" \
