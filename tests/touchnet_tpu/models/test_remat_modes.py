@@ -82,3 +82,33 @@ def test_bad_hybrid_options_raise():
         forward(params, input_ids=ids, segment_ids=seg, config=config,
                 compute_dtype=jnp.float32, remat_mode="selective",
                 selective_ac_option="op_every_0")
+
+
+def test_save_list_mode_matches_golden():
+    """remat_mode='save:<names>' — the parameterized save-set dial behind
+    the named policies — must preserve loss and grads, and reject an
+    empty list."""
+    import jax
+    import jax.numpy as jnp
+
+    config, params, ids, seg = _setup()
+
+    def loss_fn(p, mode):
+        out = forward(
+            p, input_ids=ids, segment_ids=seg, config=config,
+            remat_mode=mode, compute_dtype=jnp.float32,
+        )
+        return out.astype(jnp.float32).sum()
+
+    ref_l, ref_g = jax.value_and_grad(loss_fn)(params, "none")
+    for mode in (
+        "save:flash_out,flash_lse,dot_q,dot_k,dot_v",
+        "save:dot_gate,dot_up",
+    ):
+        l, g = jax.value_and_grad(loss_fn)(params, mode)
+        assert abs(float(l) - float(ref_l)) < 1e-4
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+            # recompute reorders reductions: f32 reassociation noise only
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+    with pytest.raises(ValueError, match="at least one name"):
+        loss_fn(params, "save:")

@@ -190,6 +190,10 @@ class TrainConfig:
         }
         for name, allowed in _enum.items():
             val = getattr(self, name)
+            if name == "training_activation_checkpoint_mode" and str(
+                val
+            ).startswith("save:"):
+                continue  # parameterized save-list policy (modeling_llama)
             if val not in allowed:
                 raise ValueError(f"{name}={val!r}; must be one of {allowed}")
         opt = str(self.training_activation_checkpoint_selective_ac_option)

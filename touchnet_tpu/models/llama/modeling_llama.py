@@ -208,6 +208,18 @@ def _apply_remat(
             ),
             prevent_cse=False,
         )
+    if remat_mode.startswith("save:"):
+        # fully parameterized save set over the layer's checkpoint_name
+        # tags (flash_out, flash_lse, dot_q/k/v/o, dot_gate/up/down) —
+        # the raw dial behind the named policies, for per-topology sweeps
+        names = [n for n in remat_mode[len("save:"):].split(",") if n]
+        if not names:
+            raise ValueError("remat_mode 'save:' needs at least one name")
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_only_these_names(*names),
+            prevent_cse=False,
+        )
     return body
 
 
