@@ -262,6 +262,7 @@ def _fwd_kernel_dyn(
     out_ref, lse_ref,
     k_buf, v_buf, m_scratch, l_scratch, acc_scratch, sem,
     *, scale: float, causal: bool, block_q: int, block_kv: int, group: int,
+    sum_lane: int = -1,
 ):
     bi, hi, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     q_off = q_off_ref[0]
@@ -335,13 +336,21 @@ def _fwd_kernel_dyn(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(s - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
         pv = jax.lax.dot_general(
             p.astype(v_buf.dtype), v_buf[slot],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+        if sum_lane >= 0:
+            # head-dim-padded shapes (D 64 -> 128 lanes): the caller set
+            # v[:, sum_lane] = 1, so the PV matmul computes the softmax
+            # row-sum for free in that lane — one fewer full-tile VPU pass
+            # (the pad lanes of the output are sliced off by the caller)
+            psum = pv[:, sum_lane:sum_lane + 1]
+        else:
+            psum = jnp.sum(p, axis=1, keepdims=True)
+        l_new = alpha * l_prev + psum
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
         return _
 
@@ -377,31 +386,47 @@ def _pad_head_dim(*arrays):
     )
 
 
+def _set_ones_lane(v: jax.Array, lane: int) -> jax.Array:
+    """Write 1.0 into one (padded) lane of v — fuses into the pad copy."""
+    idx = jnp.arange(v.shape[-1]) == lane
+    return jnp.where(idx, jnp.ones((), v.dtype), v)
+
+
 def _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
                     block_kv, interpret):
     """[B,T,H,D]-layout adapter around the grouped fwd core."""
     D_out = q.shape[-1]
     q, k, v = _pad_head_dim(q, k, v)
     B, T, H, D = q.shape
+    sum_lane = -1
+    if D > D_out:
+        # first pad lane of v carries a 1: the kernel's PV matmul then
+        # yields the softmax row-sum in that output lane for free
+        v = _set_ones_lane(v, D_out)
+        sum_lane = D_out
     qg, kh, vh, G = _grouped_views(q, k, v)
     Hkv = kh.shape[1]
     nq = pl.cdiv(T, block_q)
     out, lse = _fwd_dyn_core(qg, kh, vh, q_seg, kv_seg, q_off, causal, scale,
-                             block_q, block_kv, interpret)
+                             block_q, block_kv, interpret, sum_lane=sum_lane)
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)[..., :D_out]
     lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse
 
 
 def _fwd_dyn_core(qg, kh, vh, q_seg, kv_seg, q_off, causal, scale, block_q,
-                  block_kv, interpret, block_map=None):
+                  block_kv, interpret, block_map=None, sum_lane=-1):
     """Grouped-layout dynamic-trip forward: qg [B,Hkv,G,T,D] (D lane-padded),
     kh/vh [B,Hkv,S,D] -> (outg [B,Hkv,G,T,D], lse flat
     [B,Hkv,1,nq*G*block_q] in (iq, g, row) order).
 
     block_map: optional precomputed (q_uni, kv_uni, kvmap, nlive) — the map
     depends only on segments/offsets, so callers running the same shapes
-    repeatedly (one chunk across L layers) compute it once."""
+    repeatedly (one chunk across L layers) compute it once.
+
+    sum_lane: >= 0 when the caller padded the head dim AND set
+    v[..., sum_lane] = 1 — the kernel then reads the softmax row-sum out
+    of the PV matmul instead of a VPU reduction pass."""
     B, Hkv, G, T, D = qg.shape
     S = kh.shape[2]
     nq = pl.cdiv(T, block_q)
@@ -417,7 +442,7 @@ def _fwd_dyn_core(qg, kh, vh, q_seg, kv_seg, q_off, causal, scale, block_q,
 
     kernel = functools.partial(
         _fwd_kernel_dyn, scale=scale, causal=causal,
-        block_q=block_q, block_kv=block_kv, group=G,
+        block_q=block_q, block_kv=block_kv, group=G, sum_lane=sum_lane,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -1744,8 +1769,13 @@ def _flash_g_fwd(qg, kh, vh, q_seg, kv_seg, q_off, causal, scale,
 
     D_out = qg.shape[-1]
     qp, kp, vp = _pad_head_dim(qg, kh, vh)
+    sum_lane = -1
+    if qp.shape[-1] > D_out:
+        vp = _set_ones_lane(vp, D_out)
+        sum_lane = D_out
     outg, lse = _fwd_dyn_core(qp, kp, vp, q_seg, kv_seg, q_off, causal,
-                              scale, block_q, block_kv, interpret)
+                              scale, block_q, block_kv, interpret,
+                              sum_lane=sum_lane)
     outg = outg[..., :D_out]
     outg = checkpoint_name(outg, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
