@@ -83,8 +83,8 @@ def build(config, batch, seqlen, remat_mode="selective", ac_option="op"):
             config=config,
             remat_mode=remat_mode,
             selective_ac_option=ac_option,
-            block_q=1024,
-            block_kv=1024,
+            block_q=512,
+            block_kv=512,
             return_hidden=True,
         )
         loss, _, _ = fused_linear_cross_entropy(

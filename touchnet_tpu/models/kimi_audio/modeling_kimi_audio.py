@@ -322,8 +322,8 @@ def forward(
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",
     selective_ac_option: str = "op",
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 512,
+    block_kv: int = 512,
     shard_fn: Optional[Callable] = None,
     return_audio_logits: bool = False,
 ):

@@ -436,8 +436,8 @@ def forward(
     attn_fn: Optional[Callable] = None,
     remat_mode: str = "none",  # none | full | selective | op
     selective_ac_option: str = "op",  # 'op' | int k (every k-th layer)
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 512,
+    block_kv: int = 512,
     shard_fn: Optional[Callable] = None,
     return_hidden: bool = False,
 ) -> jax.Array:

@@ -39,8 +39,8 @@ def pipeline_forward(
     n_microbatches: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
     remat_mode: str = "full",
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 512,
+    block_kv: int = 512,
     shard_fn=None,
     schedule: str = "1F1B",
     split_points: Optional[str] = None,

@@ -1670,8 +1670,8 @@ def flash_attention(
     segment_ids: Optional[jax.Array] = None,
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 512,
+    block_kv: int = 512,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
     kv_segment_ids: Optional[jax.Array] = None,
@@ -1815,8 +1815,8 @@ def flash_attention_grouped(
     segment_ids: Optional[jax.Array] = None,
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 512,
+    block_kv: int = 512,
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
     kv_segment_ids: Optional[jax.Array] = None,
@@ -1908,7 +1908,7 @@ def flash_prefill_grouped(
     *,
     q_offset,
     scale: Optional[float] = None,
-    block_q: int = 1024,
+    block_q: int = 512,
     block_kv: int = 512,
     block_map=None,  # from make_grouped_prefill_map (same block sizes)
     use_pallas: Optional[bool] = None,

@@ -29,8 +29,8 @@ BATCH = ("dp_replicate", "dp_shard")
 
 def make_sharded_attn_fn(
     mesh: Optional[Mesh],
-    block_q: int = 1024,
-    block_kv: int = 1024,
+    block_q: int = 512,
+    block_kv: int = 512,
     rotate_method: str = "allgather",
     use_pallas: Optional[bool] = None,
     interpret: bool = False,
