@@ -452,3 +452,88 @@ def test_train_e2e_op_every_hybrid_remat(tmp_path):
     )
     trainer = run_trainer(argv)
     assert trainer.step == 3
+
+
+@pytest.mark.slow
+def test_grad_accum_matches_large_batch(tmp_path):
+    """accum=G with microbatch B is numerically the G*B step: every
+    microbatch loss is normalized by the GLOBAL num_sentence, so the scanned
+    grad sum equals the flat-batch grad (reference leaves accumulation as a
+    TODO, touchnet/bin/train.py:322)."""
+    from touchnet_tpu.bin import TrainConfig
+    from touchnet_tpu.bin.train import Trainer
+    from touchnet_tpu.data import DataConfig
+    from touchnet_tpu.tokenizer import TokenizerConfig
+    from touchnet_tpu.utils.cli import parse_args_into_dataclasses
+
+    listfile = build_corpus(tmp_path)
+
+    def mk(subdir, **over):
+        argv = make_args(
+            tmp_path, listfile, steps=2, dataset_batchsize="2",
+            training_trace_dump_folder=str(tmp_path / subdir), **over,
+        )
+        tok, data, job = parse_args_into_dataclasses(
+            [TokenizerConfig, DataConfig, TrainConfig], argv
+        )
+        return Trainer(tok, data, job)
+
+    t1 = mk("exp1")
+    t2 = mk("exp2", training_gradient_accumulation_steps="2")
+    try:
+        # one global host batch [8, T] (batchsize 2 x dp_shard 4)
+        batch = next(iter(t1.dataloader))
+        db1, ns1 = t1._put_batch(batch)
+        p1, _, m1 = t1.train_step_fn(t1.params, t1.opt_state, db1, ns1, 1)
+
+        stacked = {
+            k: (v.reshape((2, v.shape[0] // 2) + v.shape[1:])
+                if isinstance(v, np.ndarray) else v)
+            for k, v in batch.items()
+        }
+        db2, ns2 = t2._put_batch(stacked)
+        assert float(ns2) == float(ns1)
+        p2, _, m2 = t2.train_step_fn(t2.params, t2.opt_state, db2, ns2, 1)
+
+        np.testing.assert_allclose(
+            float(m1["loss/per_sample"]), float(m2["loss/per_sample"]),
+            rtol=1e-5,
+        )
+        import jax
+
+        flat1 = jax.tree_util.tree_leaves(p1)
+        flat2 = jax.tree_util.tree_leaves(p2)
+        for a, b in zip(flat1, flat2):
+            # scan reorders the fp32 grad sum; AdamW's rsqrt amplifies the
+            # reorder noise on near-zero second moments — atol covers it
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+            )
+    finally:
+        t1.close()
+        t2.close()
+
+
+@pytest.mark.slow
+def test_grad_accum_e2e(tmp_path):
+    """Trainer runs end to end with accumulation: the _AccumBatcher stacks
+    loader batches, loss drops, and the step count matches lr_scheduler_steps
+    (each step consumes accum microbatches)."""
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=4,
+        training_gradient_accumulation_steps=2,
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 4
+
+
+def test_grad_accum_rejects_pp():
+    from touchnet_tpu.bin import TrainConfig
+
+    cfg = TrainConfig(
+        training_gradient_accumulation_steps=2,
+        training_pipeline_parallel_degree=2,
+    )
+    with pytest.raises(ValueError, match="pipeline"):
+        cfg.validate()

@@ -218,3 +218,24 @@ def batch_specs(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         return NamedSharding(mesh, _shrink_spec_to_shape(spec, getattr(x, "shape", ()), mesh))
 
     return jax.tree.map(one, batch)
+
+
+def microbatch_specs(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """batch_specs for gradient-accumulation stacks: arrays carry a leading
+    [G] microbatch axis that lax.scan consumes, so it stays UNSHARDED and the
+    (dp, cp) layout applies to axes 1+ exactly as batch_specs puts it on
+    axes 0+."""
+
+    def one(x):
+        nd = getattr(x, "ndim", 0)
+        if nd >= 3:
+            spec = P(None, BATCH_AXES, "cp")
+        elif nd == 2:
+            spec = P(None, BATCH_AXES)
+        else:
+            spec = P()
+        return NamedSharding(
+            mesh, _shrink_spec_to_shape(spec, getattr(x, "shape", ()), mesh)
+        )
+
+    return jax.tree.map(one, batch)
