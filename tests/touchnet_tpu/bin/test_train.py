@@ -366,7 +366,7 @@ def test_batch_nan_guard(tmp_path):
     mesh = ParallelDims(
         dp_replicate=1, dp_shard=n, cp=1, tp=1, pp=1, world_size=n
     ).build_mesh()
-    fake = SimpleNamespace(mesh=mesh)
+    fake = SimpleNamespace(mesh=mesh, _accum=1)
     feats = np.ones((n, 8, 4), np.float32)
     feats[0, 3, 1] = np.nan
     batch = {
