@@ -124,6 +124,32 @@ def test_sampler_top_k():
         assert int(tok[0]) in (1, 2)
 
 
+def test_sampler_top_p():
+    """Nucleus keeps the smallest descending-prob prefix whose mass reaches
+    top_p, crossing token included (HF TopPLogitsWarper semantics — the
+    reference's inference path samples through HF generate's top_p,
+    reference touchnet/models/touch_audio/inference_touch_audio.py:182)."""
+    # softmax([3, 2, 1, -5]) ~= [.705, .259, .095, .000]
+    logits = jnp.asarray([[3.0, 2.0, 1.0, -5.0]])
+    for seed in range(8):
+        # top_p=0.5: token 0 alone crosses 0.5 -> only token 0 survives
+        tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
+                           top_p=0.5)
+        assert int(tok[0]) == 0
+        # top_p=0.8: tokens {0,1} reach 0.904 with exclusive mass 0.705
+        tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
+                           top_p=0.8)
+        assert int(tok[0]) in (0, 1)
+        # top_p=0.99: token 3's exclusive mass already exceeds it
+        tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
+                           top_p=0.99)
+        assert int(tok[0]) in (0, 1, 2)
+    # composes with top_k (k cuts first, then the nucleus over survivors)
+    tok = sample_token(logits, jax.random.PRNGKey(0), temperature=1.0,
+                       top_k=2, top_p=0.5)
+    assert int(tok[0]) == 0
+
+
 def test_chunked_prefill_matches_single_shot(tiny):
     """prefill_chunk must reproduce the single-shot prefill exactly: same
     greedy tokens for a ragged right-padded batch, including a prompt whose

@@ -355,7 +355,9 @@ def make_cached_layer_fn(
 
 
 # ---------------------------------------------------------------------------
-# Sampling (KimiASampler parity: temperature / top-k / repetition penalty)
+# Sampling (KimiASampler parity: temperature / top-k / repetition penalty;
+# top-p nucleus per the reference's HF-generate inference path,
+# reference touchnet/models/touch_audio/inference_touch_audio.py:181-183)
 # ---------------------------------------------------------------------------
 
 
@@ -366,6 +368,7 @@ def sample_token(
     top_k: int = 0,
     repetition_penalty: float = 1.0,
     recent_tokens: Optional[jax.Array] = None,  # [B, W] (-1 = empty)
+    top_p: float = 0.0,
 ) -> jax.Array:
     logits = logits.astype(jnp.float32)
     if repetition_penalty != 1.0 and recent_tokens is not None:
@@ -384,6 +387,18 @@ def sample_token(
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
         logits = jnp.where(logits < kth, NEG_INF, logits)
+    if 0.0 < top_p < 1.0:
+        # nucleus: keep the smallest prefix of the descending-prob order
+        # whose mass reaches top_p (the crossing token included, so the
+        # top-1 token always survives) — HF TopPLogitsWarper semantics.
+        # One [B, V] sort per emitted token; next to the decode step's
+        # L-layer cache streaming this is noise, so no top-k pre-cut.
+        desc = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(desc, axis=-1)
+        exclusive = jnp.cumsum(probs, axis=-1) - probs
+        kept = jnp.where(exclusive < top_p, desc, jnp.inf)
+        cut = jnp.min(kept, axis=-1, keepdims=True)
+        logits = jnp.where(logits < cut, NEG_INF, logits)
     return jax.random.categorical(key, logits, axis=-1)
 
 
@@ -398,6 +413,7 @@ def generate(
     embed_fn: Optional[Callable] = None,  # token -> embedding for decode steps
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 0.0,
     repetition_penalty: float = 1.0,
     repetition_window: int = 16,
     seed: int = 0,
@@ -489,7 +505,8 @@ def generate(
         step, cache, last_logits, out, done, recent, key = state
         key, sub = jax.random.split(key)
         tok = sample_token(
-            last_logits, sub, temperature, top_k, repetition_penalty, recent
+            last_logits, sub, temperature, top_k, repetition_penalty, recent,
+            top_p=top_p,
         )
         tok = jnp.where(done, eos_id, tok)
         out = out.at[:, step].set(tok)
