@@ -83,6 +83,64 @@ def test_greedy_matches_hf_generate(tiny):
     np.testing.assert_array_equal(np.asarray(got), hf_out)
 
 
+def test_no_repeat_ngram_matches_hf_generate(tiny):
+    """no_repeat_ngram_size=2 must reproduce HF generate's banned-bigram
+    greedy search. HF is driven through inputs_embeds, the mode the ASR
+    CLIs use (prompt = fused audio embeddings, no prompt token ids) — there
+    HF's NoRepeatNGramLogitsProcessor sees only the generated ids, which is
+    exactly this implementation's semantics. Greedy decode on a tiny random
+    model cycles within a few steps, so the ban provably bites."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_llama import _to_hf_state_dict
+
+    config, params = tiny
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=config.vocab_size, hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        num_key_value_heads=config.num_key_value_heads,
+        rms_norm_eps=config.rms_norm_eps, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model.load_state_dict(_to_hf_state_dict(params, config), strict=True)
+    model.generation_config.pad_token_id = 0
+
+    B, T, NEW = 2, 10, 16
+    ids = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(9), (B, T), 3, config.vocab_size)
+    )
+    emb_np = np.asarray(
+        jnp.take(params["model"]["embed_tokens"]["weight"],
+                 jnp.asarray(ids), axis=0)
+    )
+    with torch.no_grad():
+        hf_out = model.generate(
+            inputs_embeds=torch.from_numpy(emb_np), max_new_tokens=NEW,
+            do_sample=False, no_repeat_ngram_size=2, eos_token_id=-1,
+        ).numpy()
+
+    got = generate(
+        params, config, jnp.asarray(emb_np), jnp.full((B,), T, jnp.int32),
+        NEW, eos_id=-1, compute_dtype=jnp.float32, no_repeat_ngram_size=2,
+    )
+    got = np.asarray(got)
+    np.testing.assert_array_equal(got, hf_out)
+    # the ban actually fired: the unbanned greedy decode differs
+    plain = np.asarray(generate(
+        params, config, jnp.asarray(emb_np), jnp.full((B,), T, jnp.int32),
+        NEW, eos_id=-1, compute_dtype=jnp.float32,
+    ))
+    assert not np.array_equal(got, plain)
+    # and no generated row repeats a bigram
+    for row in got:
+        bigrams = list(zip(row[:-1], row[1:]))
+        assert len(bigrams) == len(set(bigrams))
+
+
 def test_right_padded_batch_generation(tiny):
     """Rows with different prompt lengths (right padding) must decode the
     same as decoding each row alone."""

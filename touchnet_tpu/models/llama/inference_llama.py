@@ -416,6 +416,7 @@ def generate(
     top_p: float = 0.0,
     repetition_penalty: float = 1.0,
     repetition_window: int = 16,
+    no_repeat_ngram_size: int = 0,
     seed: int = 0,
     compute_dtype=jnp.bfloat16,
     prefill_chunk: Optional[int] = None,
@@ -504,6 +505,30 @@ def generate(
     def body(state):
         step, cache, last_logits, out, done, recent, key = state
         key, sub = jax.random.split(key)
+        if no_repeat_ngram_size >= 2:
+            # HF NoRepeatNGramLogitsProcessor over the GENERATED sequence
+            # (inputs are embeddings, so the prompt carries no token ids —
+            # HF's inputs_embeds mode bans over generated ids only; the
+            # reference's ASR decode runs with no_repeat_ngram_size=2 even
+            # under do_sample=False, reference touchnet/models/touch_audio/
+            # inference_touch_audio.py:177-186): ban token v when the last
+            # n-1 generated tokens followed by v already occur in `out`.
+            n = no_repeat_ngram_size
+            T_out = out.shape[1]
+            start = jnp.clip(step - (n - 1), 0, T_out - (n - 1))
+            ctx = jax.lax.dynamic_slice_in_dim(out, start, n - 1, axis=1)
+            nj = T_out - (n - 1)
+            match = jnp.ones((B, nj), bool)
+            for i in range(n - 1):
+                match &= out[:, i:nj + i] == ctx[:, i:i + 1]
+            # the ngram's final token must already be generated (j+n-1 < step
+            # also kills every position while step < n-1, when `ctx` is
+            # necessarily incomplete)
+            match &= (jnp.arange(nj) + (n - 1) < step)[None, :]
+            banned = jnp.zeros(last_logits.shape, bool).at[
+                jnp.arange(B)[:, None], out[:, (n - 1):]
+            ].max(match)
+            last_logits = jnp.where(banned, NEG_INF, last_logits)
         tok = sample_token(
             last_logits, sub, temperature, top_k, repetition_penalty, recent,
             top_p=top_p,
