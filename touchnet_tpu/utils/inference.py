@@ -40,7 +40,17 @@ class InferenceConfig:
             "position, never the full [B, T, V] tensor"
         )},
     )
-    max_length: int = field(default=512)
+    max_length: int = field(
+        default=512,
+        metadata={"help": (
+            "max NEW tokens per utterance. Deviation from the reference "
+            "(touchnet/utils/inference.py:92, where HF generate treats it "
+            "as the TOTAL length cap and over-long inputs are skipped): "
+            "the static-shape decode here always grants the full decode "
+            "budget regardless of prompt length, so long-audio prompts "
+            "are transcribed instead of silently dropped"
+        )},
+    )
     inference_prefill_chunk: int = field(
         default=0,
         metadata={"help": (
