@@ -140,6 +140,24 @@ def test_no_repeat_ngram_matches_hf_generate(tiny):
         bigrams = list(zip(row[:-1], row[1:]))
         assert len(bigrams) == len(set(bigrams))
 
+    # the reference's full ASR decode config: penalty 1.5 + bigram ban,
+    # both active under greedy search (HF logits PROCESSORS, not warpers —
+    # reference touchnet/models/touch_audio/inference_touch_audio.py:177-186).
+    # repetition_window >= max_new_tokens makes the windowed penalty cover
+    # the full generated history, matching HF's inputs_embeds mode.
+    with torch.no_grad():
+        hf_pen = model.generate(
+            inputs_embeds=torch.from_numpy(emb_np), max_new_tokens=NEW,
+            do_sample=False, no_repeat_ngram_size=2, repetition_penalty=1.5,
+            eos_token_id=-1,
+        ).numpy()
+    got_pen = np.asarray(generate(
+        params, config, jnp.asarray(emb_np), jnp.full((B,), T, jnp.int32),
+        NEW, eos_id=-1, compute_dtype=jnp.float32, no_repeat_ngram_size=2,
+        repetition_penalty=1.5, repetition_window=NEW,
+    ))
+    np.testing.assert_array_equal(got_pen, hf_pen)
+
 
 def test_right_padded_batch_generation(tiny):
     """Rows with different prompt lengths (right padding) must decode the

@@ -112,11 +112,17 @@ def main(argv=None):
             jnp.asarray(lens), config.max_length, eos_id=tokenizer.eos,
             compute_dtype=dtype,
             prefill_chunk=config.inference_prefill_chunk or None,
-            # greedy + banned repeated bigrams: the reference's decode config
-            # (do_sample=False, no_repeat_ngram_size=2 — the ngram ban
-            # applies even to greedy search, reference touchnet/models/
-            # touch_audio/inference_touch_audio.py:177-186)
+            # greedy + banned repeated bigrams + repetition penalty: the
+            # reference's decode config (do_sample=False,
+            # no_repeat_ngram_size=2, repetition_penalty=1.5 — HF applies
+            # both PROCESSORS even to greedy search, reference touchnet/
+            # models/touch_audio/inference_touch_audio.py:177-186); the
+            # full-history window reproduces HF's penalty-over-all-
+            # generated-ids semantics (parity-pinned in
+            # tests/.../models/test_inference.py)
             no_repeat_ngram_size=2,
+            repetition_penalty=1.5,
+            repetition_window=config.max_length,
         )
         for s, toks in zip(batch, np.asarray(out)):
             toks = [int(t) for t in toks if int(t) != tokenizer.eos]
