@@ -321,9 +321,17 @@ def test_dual_stream_generate_text_matches_single_stream(tiny):
         plen, 6, eos_id=eos_id, embed_fn=embed_fn,
         temperature=0.0, compute_dtype=jnp.float32,
     )
+    # neutral sampler: generate_dual's DEFAULT carries the reference's
+    # text repetition penalty 1.1, which the plain single-stream call
+    # above does not — this test pins the pure decode-path equivalence
+    from touchnet_tpu.models.kimi_audio.generate_kimi_audio import (
+        SamplerSettings,
+    )
+
     text, audio = generate_dual(
         params, config, prompt + blank_emb[None, None], plen, 6,
         blank_id=blank_id, eos_id=eos_id, output_type="text",
+        text_sampler=SamplerSettings(),
         compute_dtype=jnp.float32,
     )
     # single-stream pads with eos after finish; dual pads with blank —

@@ -137,8 +137,21 @@ def generate_dual(
     *,
     blank_id: int,  # <|im_kimia_text_blank|> (reference hardcodes 151666)
     eos_id: int,    # <|im_kimia_text_eos|>   (reference hardcodes 151667)
-    text_sampler: SamplerSettings = SamplerSettings(),
-    audio_sampler: SamplerSettings = SamplerSettings(),
+    # defaults = the reference generate() signature's sampler knobs
+    # (reference touchnet/models/kimi_audio/modeling_kimi_audio.py:1084-1100:
+    # text greedy WITH repetition penalty 1.1/window 16 — the penalty runs
+    # before the argmax; audio temp 0.8 / top-k 10 / window 64). Deviation:
+    # the reference arms its penalty only once MORE than `window` tokens
+    # exist; this windowed buffer penalizes from the first token over
+    # whatever history exists (stricter for the first `window` steps).
+    text_sampler: SamplerSettings = SamplerSettings(
+        temperature=0.0, top_k=5, repetition_penalty=1.1,
+        repetition_window=16,
+    ),
+    audio_sampler: SamplerSettings = SamplerSettings(
+        temperature=0.8, top_k=10, repetition_penalty=1.0,
+        repetition_window=64,
+    ),
     output_type: str = "both",  # "text" holds the audio stream at blank
     audio_delay_tokens: Optional[int] = None,
     seed: int = 0,

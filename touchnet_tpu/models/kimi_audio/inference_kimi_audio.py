@@ -146,7 +146,12 @@ def main(argv=None):
             out = generate(
                 lm_params, model_config.text_config, prompt, jnp.asarray(lens),
                 config.max_length, eos_id=eos_id, embed_fn=embed_fn,
-                temperature=0.0, compute_dtype=dtype,
+                # reference generate() text defaults: greedy WITH
+                # repetition penalty 1.1 over a 16-token window
+                # (touchnet/models/kimi_audio/modeling_kimi_audio.py:
+                # 1084-1100, applied before the argmax)
+                temperature=0.0, repetition_penalty=1.1,
+                repetition_window=16, compute_dtype=dtype,
                 prefill_chunk=config.inference_prefill_chunk or None,
             )
         for i, (s, toks_out) in enumerate(zip(batch, np.asarray(out))):
