@@ -159,6 +159,58 @@ def test_no_repeat_ngram_matches_hf_generate(tiny):
     np.testing.assert_array_equal(got_pen, hf_pen)
 
 
+def test_prime_tokens_match_hf_input_ids_mode(tiny):
+    """The reference ASR CLI drives HF generate with input_ids =
+    [pad]*(T-1)+[bos] (reference touchnet/models/touch_audio/
+    inference_touch_audio.py:75-81, attention_mask all ones), so HF's
+    RepetitionPenaltyLogitsProcessor and NoRepeatNGramLogitsProcessor see
+    the prompt's pad/bos ids for the whole decode — the penalty set is
+    {pad, bos} from step 0 and the bigram history starts at
+    {(pad,pad),(pad,bos)}. prime_tokens=(pad,pad,bos) must reproduce HF's
+    input_ids-mode output exactly (matters when pad == eos: the reference
+    then penalizes the eos logit systematically)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_llama import _to_hf_state_dict
+
+    config, params = tiny
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=config.vocab_size, hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        num_key_value_heads=config.num_key_value_heads,
+        rms_norm_eps=config.rms_norm_eps, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    model.load_state_dict(_to_hf_state_dict(params, config), strict=True)
+
+    B, T, NEW = 1, 12, 16
+    pad_id, bos_id = 0, 1
+    model.generation_config.pad_token_id = pad_id
+    ids = np.full((B, T), pad_id, np.int64)
+    ids[:, -1] = bos_id
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.from_numpy(ids),
+            attention_mask=torch.ones((B, T), dtype=torch.long),
+            max_new_tokens=NEW, do_sample=False, no_repeat_ngram_size=2,
+            repetition_penalty=1.5, eos_token_id=-1,
+        )[:, T:].numpy()
+
+    emb = jnp.take(params["model"]["embed_tokens"]["weight"],
+                   jnp.asarray(ids), axis=0)
+    got = np.asarray(generate(
+        params, config, emb, jnp.full((B,), T, jnp.int32), NEW,
+        eos_id=-1, compute_dtype=jnp.float32, no_repeat_ngram_size=2,
+        repetition_penalty=1.5, repetition_window=NEW,
+        prime_tokens=(pad_id, pad_id, bos_id),
+    ))
+    np.testing.assert_array_equal(got, hf_out)
+
+
 def test_right_padded_batch_generation(tiny):
     """Rows with different prompt lengths (right padding) must decode the
     same as decoding each row alone."""
@@ -205,14 +257,14 @@ def test_sampler_top_p():
     top_p, crossing token included (HF TopPLogitsWarper semantics — the
     reference's inference path samples through HF generate's top_p,
     reference touchnet/models/touch_audio/inference_touch_audio.py:182)."""
-    # softmax([3, 2, 1, -5]) ~= [.705, .259, .095, .000]
+    # softmax([3, 2, 1, -5]) ~= [.665, .245, .090, .0002]
     logits = jnp.asarray([[3.0, 2.0, 1.0, -5.0]])
     for seed in range(8):
         # top_p=0.5: token 0 alone crosses 0.5 -> only token 0 survives
         tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
                            top_p=0.5)
         assert int(tok[0]) == 0
-        # top_p=0.8: tokens {0,1} reach 0.904 with exclusive mass 0.705
+        # top_p=0.8: tokens {0,1} reach 0.910 with exclusive mass 0.665
         tok = sample_token(logits, jax.random.PRNGKey(seed), temperature=1.0,
                            top_p=0.8)
         assert int(tok[0]) in (0, 1)

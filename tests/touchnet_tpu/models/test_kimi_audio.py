@@ -201,6 +201,42 @@ def test_dynamic_batch_dual_streams():
     assert b["whisper_input_features"].shape[1] == 16  # [B, mel, T]
 
 
+def test_dynamic_batch_rejects_multiple_media_spans(monkeypatch):
+    """The speech merge scatters between ONE <|im_media_begin|>/<|im_media_end|>
+    pair per sample (modeling_kimi_audio.py:301-308). The stock templates
+    can only produce one pair (instruct/response text is blanked out of the
+    audio stream), so the guard is an invariant check — simulate a template
+    edit that smuggles in a second span and assert it fails loudly."""
+    from touchnet_tpu.models.kimi_audio import processing_kimi_audio as pk
+
+    monkeypatch.setattr(
+        pk, "KIMI_AUDIO_TEMPLATE_FOR_S2T",
+        pk.KIMI_AUDIO_TEMPLATE_FOR_S2T.replace(
+            "<|im_media_end|>",
+            "<|im_media_end|><|im_media_begin|><|im_media_end|>",
+        ),
+    )
+    # keep the parallel streams length-aligned (the batcher asserts it)
+    monkeypatch.setattr(
+        pk, "KIMI_TEXT_TEMPLATE_FOR_S2T",
+        pk.KIMI_TEXT_TEMPLATE_FOR_S2T
+        + "<|im_kimia_text_blank|><|im_kimia_text_blank|>",
+    )
+    cfg = DataConfig(dataset_batchsize=1, dataset_text_seqlen=4096,
+                     dataloader_drop_last_batch=False,
+                     audiofeat_num_mel_bins=16)
+    tok = _FakeKimiTokenizer()
+
+    def extract_fn(waveform, sr):
+        n = 480
+        return np.zeros((n, 16), np.float32), np.ones(n, np.int32)
+
+    samples = [{"waveform": np.zeros((1, 8000), np.float32),
+                "sample_rate": 16000, "txt": "ok"}]
+    with pytest.raises(ValueError, match="media.*marker"):
+        list(pk.dynamic_batch(iter(samples), cfg, extract_fn, tok))
+
+
 @pytest.mark.slow
 def test_train_step_freezes_tokenizer(tiny):
     import optax
@@ -367,7 +403,8 @@ def test_dual_stream_generate_audio_after_delay(tiny):
     )
     audio = np.asarray(audio)
     assert (audio[:, :delay] == blank_id).all()
-    # greedy argmax over a random-init mimo head essentially never lands
+    # generate_dual's default audio sampler (temperature 0.8 / top-k 10,
+    # fixed seed) over a random-init mimo head essentially never lands
     # exactly on blank for every post-delay step
     assert (audio[:, delay:] != blank_id).any()
     assert np.asarray(text).shape == (B, N)

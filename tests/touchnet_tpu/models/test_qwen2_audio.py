@@ -151,6 +151,21 @@ def test_dynamic_batch_semantics():
     assert b["input_features"].shape[1] == 4  # [B, mel, T]
 
 
+def test_dynamic_batch_rejects_multiple_audio_spans():
+    """The cumsum-gather <|AUDIO|> merge assumes ONE contiguous audio span
+    per sample (modeling_qwen2_audio.py:10-14); a second span smuggled in
+    via the instruct text must fail loudly instead of silently mis-fusing
+    (the reference's masked_scatter would accept it)."""
+    cfg = DataConfig(dataset_batchsize=1, dataset_text_seqlen=64,
+                     dataloader_drop_last_batch=False)
+    samples = [
+        {"waveform": np.zeros((1, 1600), np.float32), "sample_rate": 16000,
+         "txt": "hi", "instruct": "listen to <|AUDIO|> and transcribe:"},
+    ]
+    with pytest.raises(ValueError, match="AUDIO.*span"):
+        list(dynamic_batch(iter(samples), cfg, _FakeFrontend()))
+
+
 def test_whisper_features_padding():
     wav = np.zeros(16000, np.float32)  # 1 s
     feats, mask = whisper_features(wav, 16000, n_mels=32)

@@ -49,6 +49,9 @@ def dynamic_batch(data, config: DataConfig, extract_fn, tokenizer):
     def tok(text):
         return tokenizer.tokenize(text, add_special_tokens=False)
 
+    media_begin = tok("<|im_media_begin|>")
+    media_end = tok("<|im_media_end|>")
+
     def emit():
         pad = tokenizer.pad if tokenizer.pad is not None else 0
         return {
@@ -95,6 +98,22 @@ def dynamic_batch(data, config: DataConfig, extract_fn, tokenizer):
 
         text_input_ids = np.concatenate([text_prompt_ids, text_response_ids])
         audio_input_ids = np.concatenate([audio_prompt_ids, audio_response_ids])
+        # the model scatters speech embeddings between <|im_media_begin|> /
+        # <|im_media_end|> with a per-row cumsum gather that assumes exactly
+        # ONE media span per sample (modeling_kimi_audio.py:301-308); extra
+        # markers (e.g. injected via the instruct text) would silently
+        # mis-fuse, so reject them loudly
+        if len(media_begin) == 1 and len(media_end) == 1:
+            n_begin = int((audio_input_ids == media_begin[0]).sum())
+            n_end = int((audio_input_ids == media_end[0]).sum())
+            if n_begin != 1 or n_end != 1:
+                raise ValueError(
+                    f"sample {sample.get('key', '<unknown>')!r} expands to "
+                    f"{n_begin} <|im_media_begin|> / {n_end} <|im_media_end|> "
+                    "markers; the TPU speech merge (static cumsum gather) "
+                    "supports exactly one media span per sample — remove "
+                    "extra markers from the instruct/response text"
+                )
         labels = np.concatenate(
             [np.full(len(text_prompt_ids) - 1, IGNORE_ID, np.int32),
              text_response_ids, eos]

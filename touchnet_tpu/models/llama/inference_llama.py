@@ -391,6 +391,10 @@ def sample_token(
         # nucleus: keep the smallest prefix of the descending-prob order
         # whose mass reaches top_p (the crossing token included, so the
         # top-1 token always survives) — HF TopPLogitsWarper semantics.
+        # Tie handling deviates at the cut boundary: `logits < cut` keeps
+        # EVERY token tied with the crossing logit, while HF's sorted-index
+        # mask can drop some tied duplicates — sampling-path only, so no
+        # byte-exact HF parity is asserted at ties.
         # One [B, V] sort per emitted token; next to the decode step's
         # L-layer cache streaming this is noise, so no top-k pre-cut.
         desc = -jnp.sort(-logits, axis=-1)
@@ -420,8 +424,19 @@ def generate(
     seed: int = 0,
     compute_dtype=jnp.bfloat16,
     prefill_chunk: Optional[int] = None,
+    prime_tokens: Optional[tuple] = None,
 ) -> jax.Array:
     """Batch greedy/sampled decode. Returns [B, max_new_tokens] (eos-padded).
+
+    prime_tokens: static token ids treated as already-generated history
+    before step 0: they seed the repetition-penalty window and the
+    no-repeat-ngram history (the window grows by len(prime_tokens) so they
+    never age out early). Used to reproduce HF's input_ids-mode processors,
+    which see the PROMPT ids too — the reference ASR CLI prompts with
+    [pad]*(T-1)+[bos] (reference touchnet/models/touch_audio/
+    inference_touch_audio.py:75-81), so its penalty covers {pad, bos} and
+    its bigram history is {(pad,pad),(pad,bos)} for the entire decode;
+    prime_tokens=(pad, pad, bos) reproduces both sets exactly.
 
     Right padding: positions >= prompt_len are pad; the cache is filled with
     the full padded prompt but attention masks beyond valid_len, and the
@@ -496,7 +511,9 @@ def generate(
         )
         last_logits = logits[:, 0]  # [B, V]
 
-    window = max(repetition_window, 1)
+    prime = tuple(int(t) for t in (prime_tokens or ()))
+    P = len(prime)
+    window = max(repetition_window, 1) + P
 
     def cond(state):
         step, _, _, _, done, _, _ = state
@@ -515,16 +532,18 @@ def generate(
             # n-1 generated tokens followed by v already occur in `out`.
             n = no_repeat_ngram_size
             T_out = out.shape[1]
-            start = jnp.clip(step - (n - 1), 0, T_out - (n - 1))
+            # history length includes the P primed tokens at out[:, :P]
+            hstep = step + P
+            start = jnp.clip(hstep - (n - 1), 0, T_out - (n - 1))
             ctx = jax.lax.dynamic_slice_in_dim(out, start, n - 1, axis=1)
             nj = T_out - (n - 1)
             match = jnp.ones((B, nj), bool)
             for i in range(n - 1):
                 match &= out[:, i:nj + i] == ctx[:, i:i + 1]
-            # the ngram's final token must already be generated (j+n-1 < step
-            # also kills every position while step < n-1, when `ctx` is
-            # necessarily incomplete)
-            match &= (jnp.arange(nj) + (n - 1) < step)[None, :]
+            # the ngram's final token must already be in the history
+            # (j+n-1 < hstep also kills every position while hstep < n-1,
+            # when `ctx` is necessarily incomplete)
+            match &= (jnp.arange(nj) + (n - 1) < hstep)[None, :]
             banned = jnp.zeros(last_logits.shape, bool).at[
                 jnp.arange(B)[:, None], out[:, (n - 1):]
             ].max(match)
@@ -534,7 +553,7 @@ def generate(
             top_p=top_p,
         )
         tok = jnp.where(done, eos_id, tok)
-        out = out.at[:, step].set(tok)
+        out = out.at[:, P + step].set(tok)
         done = done | (tok == eos_id)
         recent = jnp.concatenate([recent[:, 1:], tok[:, None]], axis=1)
         emb = embed_fn(tok)[:, None, :]  # [B,1,E]
@@ -549,12 +568,17 @@ def generate(
         )
         return step + 1, cache, logits[:, 0], out, done, recent, key
 
-    out = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
+    out = jnp.full((B, P + max_new_tokens), eos_id, jnp.int32)
+    recent = jnp.full((B, window), -1, jnp.int32)
+    if P:
+        prime_row = jnp.asarray(prime, jnp.int32)
+        out = out.at[:, :P].set(prime_row[None, :])
+        recent = recent.at[:, window - P:].set(prime_row[None, :])
     state = (
         jnp.asarray(0), cache, last_logits, out,
         jnp.zeros((B,), bool),
-        jnp.full((B, window), -1, jnp.int32),
+        recent,
         jax.random.PRNGKey(seed),
     )
     state = jax.lax.while_loop(cond, body, state)
-    return state[3]
+    return state[3][:, P:]

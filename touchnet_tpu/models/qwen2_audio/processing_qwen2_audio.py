@@ -117,12 +117,21 @@ class HFQwen2AudioFrontend:
         return self.processor.tokenizer.eos_token_id
 
 
+def count_audio_spans(ids: np.ndarray, audio_id: int) -> int:
+    """Number of contiguous runs of the audio placeholder token in a row."""
+    m = np.asarray(ids) == audio_id
+    starts = m & ~np.concatenate([[False], m[:-1]])
+    return int(starts.sum())
+
+
 def dynamic_batch(data, config: DataConfig, frontend):
     """Token-budget dynamic batching of (audio, instruct, response) samples."""
     ids_buf, mask_buf, labels_buf, slens_buf = [], [], [], []
     feats_buf, feat_mask_buf = [], []
     longest = 0
     budget = config.dataset_batchsize * config.dataset_text_seqlen
+    audio_ids = frontend.tokenize(frontend.audio_token)
+    audio_id = audio_ids[0] if len(audio_ids) == 1 else None
 
     def emit():
         pad = frontend.pad_id
@@ -163,6 +172,20 @@ def dynamic_batch(data, config: DataConfig, frontend):
         eos = np.asarray([frontend.eos_id], np.int32)
 
         input_ids = np.concatenate([prompt_ids, response_ids])
+        # the model's <|AUDIO|> merge is a per-row cumsum gather that assumes
+        # exactly ONE contiguous audio span per sample (the reference's
+        # masked_scatter handles any number; modeling_qwen2_audio.py:10-14) —
+        # a second span (e.g. "<|AUDIO|>" inside the instruct text) would
+        # silently consume the same audio's frames, so reject it loudly here
+        if audio_id is not None and count_audio_spans(input_ids, audio_id) != 1:
+            raise ValueError(
+                f"sample {sample.get('key', '<unknown>')!r} expands to "
+                f"{count_audio_spans(input_ids, audio_id)} <|AUDIO|> spans; "
+                "the TPU merge (static cumsum gather) supports exactly one "
+                "audio span per sample — remove extra "
+                f"{frontend.audio_token!r} occurrences from the instruct/"
+                "response text"
+            )
         labels = np.concatenate(
             [np.full(len(prompt_ids) - 1, IGNORE_ID, np.int32), response_ids, eos]
         )

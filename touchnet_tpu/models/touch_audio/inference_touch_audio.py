@@ -119,10 +119,19 @@ def main(argv=None):
             # models/touch_audio/inference_touch_audio.py:177-186); the
             # full-history window reproduces HF's penalty-over-all-
             # generated-ids semantics (parity-pinned in
-            # tests/.../models/test_inference.py)
+            # tests/.../models/test_inference.py). The reference prompts
+            # with input_ids=[pad]*(T-1)+[bos] (ref :75-81), so HF's
+            # processors also cover the pad/bos PROMPT ids — prime_tokens
+            # reproduces that (penalty set {pad,bos}, prompt bigrams
+            # {(pad,pad),(pad,bos)}); matters when pad == eos, where the
+            # reference systematically penalizes the eos logit.
             no_repeat_ngram_size=2,
             repetition_penalty=1.5,
             repetition_window=config.max_length,
+            prime_tokens=(
+                (tokenizer.pad, tokenizer.pad, bos)
+                if tokenizer.pad is not None else (bos,)
+            ),
         )
         for s, toks in zip(batch, np.asarray(out)):
             toks = [int(t) for t in toks if int(t) != tokenizer.eos]
