@@ -164,7 +164,7 @@ def _fwd_kernel(
     out_ref, lse_ref,  # outputs
     m_scratch, l_scratch, acc_scratch,  # scratch
     *, scale: float, causal: bool, block_q: int, block_kv: int, nkv: int,
-    group: int,
+    group: int, sum_lane: int = -1,
 ):
     bi, iq, ikv = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     q_off = q_off_ref[0]
@@ -191,10 +191,15 @@ def _fwd_kernel(
     def _compute():
         # bf16 in, fp32 accumulation: full-rate MXU
         q = q_ref[0, 0].reshape(G * block_q, q_ref.shape[-1])
-        k = k_ref[0, 0]  # [bkv, d]
+        # softmax scale + exp2 base conversion folded into the small K
+        # block ([bkv, D]) instead of a full [G*bq, bkv] pass on s (r5,
+        # ported from the dynamic kernels)
+        k = k_ref[0, 0] * jnp.asarray(scale * LOG2E, k_ref.dtype)
+        # low-precision softmax chain for bf16 inputs (see _fwd_kernel_dyn)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # [G*bq, bkv] f32, base-2 space
+        ).astype(lp)  # [G*bq, bkv] base-2 space
 
         # interior fast path: both sides inside ONE document and the tile is
         # strictly below the causal diagonal -> nothing to mask
@@ -209,23 +214,31 @@ def _fwd_kernel(
                 q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, jkv,
                 block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            return jnp.where(mask, s, jnp.asarray(DEFAULT_MASK_VALUE, s.dtype))
 
         s = jax.lax.cond(interior, lambda s: s, masked, s)
 
         m_prev = m_scratch[:, :1]  # [G*bq, 1]
         l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_cur = jnp.max(s, axis=1, keepdims=True).astype(jnp.float32)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
+        p = jnp.exp2(s - m_new.astype(s.dtype))
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+        if sum_lane >= 0:
+            # the caller padded v's head dim and set v[:, sum_lane] = 1, so
+            # the PV matmul emits the softmax row-sum in that lane for free
+            # (one fewer full-tile VPU reduction pass); the pad lanes of the
+            # output are sliced off by the caller
+            psum = pv[:, sum_lane:sum_lane + 1]
+        else:
+            psum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        l_new = alpha * l_prev + psum
+        m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
         acc_scratch[:] = acc_scratch[:] * alpha + pv
 
     @pl.when(ikv == nkv - 1)
@@ -310,9 +323,20 @@ def _fwd_kernel_dyn(
         # softmax scale + exp2 base conversion folded into the small K block
         # ([bkv, D] elements) instead of a full [G*bq, bkv] f32 pass on s
         k = k_buf[slot] * jnp.asarray(scale * LOG2E, k_buf.dtype)
+        # Low-precision softmax chain (r5), gated on the INPUT dtype: for
+        # bf16 inputs the PV matmul consumes p as bf16 ANYWAY, so running
+        # the max/exp2 chain in bf16 adds only the score-quantization error
+        # (~ln2 * 2^-8, on par with the already-accepted bf16 p rounding)
+        # while the big [G*bq, bkv] VPU passes process half the bytes and
+        # the separate bf16 cast pass disappears (measured -5% fwd at the
+        # bench shape). f32 inputs keep the exact f32 chain (the .astype
+        # calls are no-ops) — same dtype contract the old p.astype(v.dtype)
+        # cast had. The running max/l stay f32 in scratch.
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G*bq, bkv] f32, base-2 space
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(lp)  # [G*bq, bkv] base-2 space
 
         interior = (qu >= 0) & (qu == ku)
         if causal:
@@ -326,16 +350,16 @@ def _fwd_kernel_dyn(
                 kv_seg_ref[0, 0, pl.ds(jkv * block_kv, block_kv)],
                 q_off, kv_off, iq, jkv, block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            return jnp.where(mask, s, jnp.asarray(DEFAULT_MASK_VALUE, s.dtype))
 
         s = jax.lax.cond(interior, lambda s: s, masked, s)
 
         m_prev = m_scratch[:, :1]
         l_prev = l_scratch[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_cur = jnp.max(s, axis=1, keepdims=True).astype(jnp.float32)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
+        p = jnp.exp2(s - m_new.astype(s.dtype))
         pv = jax.lax.dot_general(
             p.astype(v_buf.dtype), v_buf[slot],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -347,7 +371,8 @@ def _fwd_kernel_dyn(
             # (the pad lanes of the output are sliced off by the caller)
             psum = pv[:, sum_lane:sum_lane + 1]
         else:
-            psum = jnp.sum(p, axis=1, keepdims=True)
+            # upcast: a raw bf16 sum over block_kv terms would lose ~1%
+            psum = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         l_new = alpha * l_prev + psum
         m_scratch[:] = jnp.broadcast_to(m_new, m_scratch.shape)
         l_scratch[:] = jnp.broadcast_to(l_new, l_scratch.shape)
@@ -396,20 +421,24 @@ def _fwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q,
                     block_kv, interpret):
     """[B,T,H,D]-layout adapter around the grouped fwd core."""
     D_out = q.shape[-1]
-    q, k, v = _pad_head_dim(q, k, v)
-    B, T, H, D = q.shape
+    B, T, H, _ = q.shape
+    # transpose BEFORE padding: the grouping transpose then moves the
+    # unpadded bytes (half the padded volume); the minor-dim pad afterwards
+    # is a cheap layout-preserving copy
+    qg, kh, vh, G = _grouped_views(q, k, v)
+    qg, kh, vh = _pad_head_dim(qg, kh, vh)
+    D = qg.shape[-1]
     sum_lane = -1
     if D > D_out:
         # first pad lane of v carries a 1: the kernel's PV matmul then
         # yields the softmax row-sum in that output lane for free
-        v = _set_ones_lane(v, D_out)
+        vh = _set_ones_lane(vh, D_out)
         sum_lane = D_out
-    qg, kh, vh, G = _grouped_views(q, k, v)
     Hkv = kh.shape[1]
     nq = pl.cdiv(T, block_q)
     out, lse = _fwd_dyn_core(qg, kh, vh, q_seg, kv_seg, q_off, causal, scale,
                              block_q, block_kv, interpret, sum_lane=sum_lane)
-    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)[..., :D_out]
+    out = out[..., :D_out].reshape(B, H, T, D_out).transpose(0, 2, 1, 3)
     lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse
 
@@ -521,29 +550,32 @@ def _bwd_dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].reshape(G * block_q, D)
-        s = jax.lax.dot_general(
+        # low-precision p/ds chain for bf16 inputs (see _bwd_fused_kernel_dyn)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        s = (jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+        ) * (scale * LOG2E)).astype(lp)
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
-        lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
+        lse = (lse_ref[0, 0, 0][:, None] * LOG2E).astype(lp)  # base-e -> 2
 
         def masked_p(s):
             mask = _tile_mask(
                 q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, jkv,
                 block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp2(s - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(s - lse),
+                             jnp.asarray(0.0, s.dtype))
 
         p = jax.lax.cond(interior, lambda s: jnp.exp2(s - lse), masked_p, s)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G*bq, bkv]
         delta = delta_ref[0, 0, 0][:, None]
-        ds = (p * (dp - delta)).astype(k.dtype)
+        ds = (p * (dp - delta).astype(lp)).astype(k.dtype)
         dq_scratch[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -589,22 +621,25 @@ def _bwd_dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].reshape(G * block_q, D)
-        st = jax.lax.dot_general(
+        # low-precision p/ds chain for bf16 inputs (see _bwd_fused_kernel_dyn)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        st = (jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # [bkv, G*bq]
+        ) * (scale * LOG2E)).astype(lp)  # [bkv, G*bq]
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (ikv + 1) * block_kv - 1 <= q_off + jq * block_q
             )
-        lse = lse_ref[0, 0, 0][None, :] * LOG2E  # base-e -> base-2
+        lse = (lse_ref[0, 0, 0][None, :] * LOG2E).astype(lp)  # base-e -> 2
 
         def masked_p(st):
             mask = _tile_mask_t(
                 q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, jq, ikv,
                 block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp2(st - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(st - lse),
+                             jnp.asarray(0.0, st.dtype))
 
         pt = jax.lax.cond(
             interior, lambda st: jnp.exp2(st - lse), masked_p, st
@@ -618,7 +653,7 @@ def _bwd_dkv_kernel(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bkv, G*bq]
         delta = delta_ref[0, 0, 0][None, :]
-        dst = (pt * (dpt - delta)).astype(q.dtype)
+        dst = (pt * (dpt - delta).astype(lp)).astype(q.dtype)
         dk_scratch[:] += scale * jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -674,22 +709,25 @@ def _bwd_fused_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].reshape(rows, D)
-        sc = jax.lax.dot_general(
+        # low-precision p/ds chain for bf16 inputs (see _bwd_fused_kernel_dyn)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        sc = (jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # [G*bq, bkv]
+        ) * (scale * LOG2E)).astype(lp)  # [G*bq, bkv]
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
-        lse = lse_ref[0, 0, 0][:, None] * LOG2E  # base-e -> base-2
+        lse = (lse_ref[0, 0, 0][:, None] * LOG2E).astype(lp)  # base-e -> 2
 
         def masked_p(sc):
             mask = _tile_mask(
                 q_seg_ref[0, 0], kv_seg_ref[0, 0], q_off, kv_off, iq, jkv,
                 block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp2(sc - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(sc - lse),
+                             jnp.asarray(0.0, sc.dtype))
 
         p = jax.lax.cond(
             interior, lambda sc: jnp.exp2(sc - lse), masked_p, sc
@@ -705,7 +743,7 @@ def _bwd_fused_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [G*bq, bkv]
         delta = delta_ref[0, 0, 0][:, None]
-        ds = (p * (dp - delta)).astype(q.dtype)  # [G*bq, bkv]
+        ds = (p * (dp - delta).astype(lp)).astype(q.dtype)  # [G*bq, bkv]
         dk_scratch[kv_slice, :] += scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -792,14 +830,22 @@ def _bwd_fused_kernel_dyn(
         ku = kv_uni_ref[bi, jkv]
         k = k_buf[slot]
         v = v_buf[slot]
-        sc = jax.lax.dot_general(
+        # Low-precision p/ds chain (r5), gated on input dtype like the fwd
+        # kernel: for bf16 inputs p feeds bf16 matmuls anyway, so the exp2
+        # and ds elementwise passes run in bf16 — half the VPU bytes, and
+        # the separate bf16 casts before the dV/dK/dQ dots disappear
+        # (error on par with the accepted bf16 p rounding; f32 inputs keep
+        # the exact f32 chain)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        sc = (jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+        ) * (scale * LOG2E)).astype(lp)
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
+        lse_lp = lse.astype(lp)
 
         def masked_p(sc):
             mask = _tile_mask(
@@ -807,19 +853,21 @@ def _bwd_fused_kernel_dyn(
                 kv_seg_ref[0, 0, pl.ds(jkv * block_kv, block_kv)],
                 q_off, kv_off, iq, jkv, block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp2(sc - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(sc - lse_lp),
+                             jnp.asarray(0.0, sc.dtype))
 
-        p = jax.lax.cond(interior, lambda sc: jnp.exp2(sc - lse), masked_p, sc)
-        p_lp = p.astype(do.dtype)
+        p = jax.lax.cond(
+            interior, lambda sc: jnp.exp2(sc - lse_lp), masked_p, sc
+        )  # [G*bq, bkv] in lp
         kv_slice = pl.ds(jkv * block_kv, block_kv)
         dv_scratch[kv_slice, :] += jax.lax.dot_general(
-            p_lp, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta)).astype(q.dtype)
+        ds = (p * (dp - delta).astype(lp)).astype(q.dtype)
         dk_scratch[kv_slice, :] += scale * jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -895,14 +943,17 @@ def _bwd_dq_kernel_dyn(
         ku = kv_uni_ref[bi, jkv]
         k = k_buf[slot]
         v = v_buf[slot]
-        s = jax.lax.dot_general(
+        # low-precision p/ds chain for bf16 inputs (see _bwd_fused_kernel_dyn)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        s = (jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+        ) * (scale * LOG2E)).astype(lp)
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (jkv + 1) * block_kv - 1 <= q_off + iq * block_q
             )
+        lse_lp = lse.astype(lp)
 
         def masked_p(s):
             mask = _tile_mask(
@@ -910,13 +961,16 @@ def _bwd_dq_kernel_dyn(
                 kv_seg_ref[0, 0, pl.ds(jkv * block_kv, block_kv)],
                 q_off, kv_off, iq, jkv, block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp2(s - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(s - lse_lp),
+                             jnp.asarray(0.0, s.dtype))
 
-        p = jax.lax.cond(interior, lambda s: jnp.exp2(s - lse), masked_p, s)
+        p = jax.lax.cond(
+            interior, lambda s: jnp.exp2(s - lse_lp), masked_p, s
+        )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = (p * (dp - delta)).astype(k.dtype)
+        ds = (p * (dp - delta).astype(lp)).astype(k.dtype)
         dq_scratch[:] += scale * jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -990,15 +1044,17 @@ def _bwd_dkv_kernel_dyn(
         qu = q_uni_ref[bi, jq]
         q = q_buf[slot].reshape(rows, D)
         do = do_buf[slot].reshape(rows, D)
-        st = jax.lax.dot_general(
+        # low-precision p/ds chain for bf16 inputs (see _bwd_fused_kernel_dyn)
+        lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+        st = (jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # [bkv, G*bq]
+        ) * (scale * LOG2E)).astype(lp)  # [bkv, G*bq]
         interior = (qu >= 0) & (qu == ku)
         if causal:
             interior = interior & (
                 kv_off + (ikv + 1) * block_kv - 1 <= q_off + jq * block_q
             )
-        lse = lse_buf[slot][0][None, :] * LOG2E
+        lse = (lse_buf[slot][0][None, :] * LOG2E).astype(lp)
 
         def masked_p(st):
             mask = _tile_mask_t(
@@ -1006,7 +1062,8 @@ def _bwd_dkv_kernel_dyn(
                 kv_seg_ref[0, 0],
                 q_off, kv_off, jq, ikv, block_q, block_kv, G, causal,
             )
-            return jnp.where(mask, jnp.exp2(st - lse), 0.0)
+            return jnp.where(mask, jnp.exp2(st - lse),
+                             jnp.asarray(0.0, st.dtype))
 
         pt = jax.lax.cond(
             interior, lambda st: jnp.exp2(st - lse), masked_p, st
@@ -1019,7 +1076,7 @@ def _bwd_dkv_kernel_dyn(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         delta = delta_buf[slot][0][None, :]
-        dst = (pt * (dpt - delta)).astype(q.dtype)
+        dst = (pt * (dpt - delta).astype(lp)).astype(q.dtype)
         dk_scratch[:] += scale * jax.lax.dot_general(
             dst, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -1034,20 +1091,22 @@ def _bwd_pallas_dyn(q, k, v, q_seg, kv_seg, q_off, out, lse, do, causal,
                     scale, block_q, block_kv, interpret):
     """[B,T,H,D]-layout adapter around the grouped bwd core."""
     D_out = q.shape[-1]
-    q, k, v, out, do = _pad_head_dim(q, k, v, out, do)
-    B, T, H, D = q.shape
+    B, T, H, _ = q.shape
+    # transpose before padding (see _fwd_pallas_dyn)
     qg, kh, vh, G = _grouped_views(q, k, v)
     Hkv = kh.shape[1]
-    dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
-    outg = out.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D)
+    dog = do.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D_out)
+    outg = out.transpose(0, 2, 1, 3).reshape(B, Hkv, G, T, D_out)
+    qg, kh, vh, outg, dog = _pad_head_dim(qg, kh, vh, outg, dog)
+    D = qg.shape[-1]
     nq = pl.cdiv(T, block_q)
     lse_p = _permute_lse(lse, nq, block_q)
     dq, dk, dv = _bwd_dyn_core(qg, kh, vh, q_seg, kv_seg, q_off, outg, lse_p,
                                dog, causal, scale, block_q, block_kv,
                                interpret)
-    dq = dq.reshape(B, H, T, D).transpose(0, 2, 1, 3)[..., :D_out]
-    dk = dk.transpose(0, 2, 1, 3)[..., :D_out]
-    dv = dv.transpose(0, 2, 1, 3)[..., :D_out]
+    dq = dq[..., :D_out].reshape(B, H, T, D_out).transpose(0, 2, 1, 3)
+    dk = dk[..., :D_out].transpose(0, 2, 1, 3)
+    dv = dv[..., :D_out].transpose(0, 2, 1, 3)
     return dq, dk, dv
 
 
@@ -1331,6 +1390,16 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
     B, T, H, D = q.shape
     S, Hkv = k.shape[1], k.shape[2]
     qg, kh, vh, G = _grouped_views(q, k, v)
+    # pad ONLY v's head dim and plant a ones-lane: the PV matmul then emits
+    # the softmax row-sum for free (see _fwd_kernel sum_lane). q/k stay at
+    # the model's head dim — a K=64 contraction costs the same MXU passes,
+    # and so does a 64-lane-masked PV output tile, so the pad is free
+    # compute-wise; only v's DMA bytes double.
+    sum_lane = -1
+    if D < _MIN_LANE:
+        vh = _set_ones_lane(_pad_head_dim(vh)[0], D)
+        sum_lane = D
+    Dv = vh.shape[-1]
     nq = pl.cdiv(T, block_q)
     nkv = pl.cdiv(S, block_kv)
     grid = (B, Hkv, nq, nkv)
@@ -1356,6 +1425,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
         block_q=block_q, block_kv=block_kv, nkv=nkv, group=G,
+        sum_lane=sum_lane,
     )
     q_uni = _block_uniform(q_seg, block_q)
     kv_uni = _block_uniform(kv_seg, block_kv)
@@ -1371,20 +1441,20 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
                 pl.BlockSpec((1, 1, block_kv), kv_seg_index),
                 pl.BlockSpec((1, 1, G, block_q, D), q_index5),
                 pl.BlockSpec((1, 1, block_kv, D), kv_index),
-                pl.BlockSpec((1, 1, block_kv, D), kv_index),
+                pl.BlockSpec((1, 1, block_kv, Dv), kv_index),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, G, block_q, D), q_index5),
+                pl.BlockSpec((1, 1, G, block_q, Dv), q_index5),
                 pl.BlockSpec((1, 1, 1, G * block_q), lse_index),
             ],
             scratch_shapes=[
                 pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
                 pltpu.VMEM((G * block_q, _MIN_LANE), jnp.float32),
-                pltpu.VMEM((G * block_q, D), jnp.float32),
+                pltpu.VMEM((G * block_q, Dv), jnp.float32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, G, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, G, T, Dv), q.dtype),
             # lse in a block-permuted flat layout: [(iq, g, row)] on the last
             # dim; _unpermute_lse restores [B, Hkv, G, T]
             jax.ShapeDtypeStruct((B, Hkv, 1, nq * G * block_q), jnp.float32),
@@ -1393,7 +1463,7 @@ def _fwd_pallas(q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_kv,
         interpret=interpret,
     )(q_off, q_uni, kv_uni, kvmap,
       q_seg[:, None, :], kv_seg[:, None, :], qg, kh, vh)
-    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    out = out[..., :D].reshape(B, H, T, D).transpose(0, 2, 1, 3)
     lse = _unpermute_lse(lse, Hkv, G, nq, block_q)
     return out, lse  # lse [B, Hkv, G, T]
 
