@@ -333,85 +333,168 @@ def timed_decode_step(batch=32, context=7680, iters=40):
     steps = jax.jit(k_steps, donate_argnums=(2,))
     kv = steps(params, emb1, kv, prompt_len, jnp.asarray(1, jnp.int32))
     float(kv[0, 0, 0, 0, 0].astype(jnp.float32))
-    t0 = time.perf_counter()
-    kv = steps(params, emb1, kv, prompt_len, jnp.asarray(iters, jnp.int32))
-    float(kv[0, 0, 0, 0, 0].astype(jnp.float32))
-    dt = (time.perf_counter() - t0) / iters
+    # median of >= 5 trials (r5, review item): the old single-trial arm's
+    # 9.55 ms headline was a best-observed value while repeated bench runs
+    # measured 10.1-10.5 — the spread is cross-invocation chip/tunnel state
+    # (the train-step arm shows the same +-1-2% across sessions), not
+    # anything inside the decode program; intra-process trials are stable.
+    trials = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        kv = steps(params, emb1, kv, prompt_len, jnp.asarray(iters, jnp.int32))
+        float(kv[0, 0, 0, 0, 0].astype(jnp.float32))
+        trials.append((time.perf_counter() - t0) / iters)
     del kv, params
+    trials.sort()
+    dt = trials[len(trials) // 2]
+    spread = (trials[-1] - trials[0]) / dt
     return {
         "decode_step_ms": round(dt * 1000, 2),
+        "decode_step_ms_min": round(trials[0] * 1000, 2),
+        "decode_step_ms_max": round(trials[-1] * 1000, 2),
+        "trials": len(trials),
+        "spread_pct": round(100 * spread, 1),
         "batch_tokens_per_sec": round(B / dt, 1),
         "batch": B,
         "context": Tp,
     }
 
 
-def loader_headroom(model_tok_s):
-    """Native-frontend feeding rate vs the chip's consumption rate: audio
-    tokens/s CPU workers produce through fbank(80 mel) + 7/6 low-frame-rate
-    stacking, MEASURED at workers = 1/2/4 (not extrapolated from one
-    worker). ctypes releases the GIL, so thread workers scale with
-    available cores; the 24-core headroom is derived from the measured
-    per-worker efficiency at this host's core count."""
-    from touchnet_tpu.data.native import fbank_native, native_available
-    from touchnet_tpu.data import DataConfig
+# module-level fixtures so ProcessPoolExecutor (fork) workers can run the
+# utt functions without pickling closures
+_LOADER_WAV = None
+_LOADER_CFG = None
+
+
+def _fbank_utt(_):
+    """fbank-80 + 7/6 LFR stack (touch_audio pretrain frontend)."""
     from touchnet_tpu.data.functions import audiofeat_stack
+    from touchnet_tpu.data.native import fbank_native
+
+    feat = fbank_native(_LOADER_WAV, 80, 25, 10, 0.0, 16000)
+    stacked = next(audiofeat_stack(
+        iter([{"audiofeat": feat, "key": "k"}]), _LOADER_CFG
+    ))["audiofeat"]
+    return stacked.shape[0]
+
+
+def _logmel_utt(_):
+    """whisper 128-mel log-mel (qwen2/kimi SFT frontend, data/dsp.py:334 /
+    native logmel). The SFT datapipe also tokenizes the transcript, but a
+    ~20-token text costs microseconds next to the 10 s log-mel — the
+    frontend IS the loader cost at this shape."""
+    from touchnet_tpu.data.native import logmel_native
+
+    feat = logmel_native(_LOADER_WAV / 32768.0, 16000, 400, 160, 128)
+    return feat.shape[0]
+
+
+def _loader_sweep(fn, workers, n_utts, mode):
+    from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    if workers == 1:
+        units = sum(fn(i) for i in range(n_utts))
+    elif mode == "processes":
+        with ProcessPoolExecutor(workers) as ex:  # fork: globals inherited
+            units = sum(ex.map(fn, range(n_utts)))
+    else:
+        with ThreadPoolExecutor(workers) as ex:
+            units = sum(ex.map(fn, range(n_utts)))
+    return units / (time.perf_counter() - t0)
+
+
+def loader_headroom(model_tok_s, whisper_positions_s=None):
+    """Native-frontend feeding rate vs the chip's consumption rate, for BOTH
+    production frontends: fbank-80 + LFR (touch_audio pretrain; units =
+    stacked audio tokens) and whisper 128-mel log-mel (qwen2/kimi SFT —
+    the heaviest consumer; units = mel frames). MEASURED at workers =
+    1/2/4 in thread mode (ctypes releases the GIL) plus a process-pool
+    point (for hosts where the GIL or allocator contends); the 24-core
+    projection applies the measured per-worker efficiency at this host's
+    core count, never an assumption."""
+    global _LOADER_WAV, _LOADER_CFG
+    from touchnet_tpu.data import DataConfig
+    from touchnet_tpu.data.native import (
+        fbank_native, logmel_native, native_available,
+    )
 
     if not native_available():
         return {"available": False}
     rng = np.random.default_rng(0)
     utt_s = 10.0
-    wav = (rng.standard_normal(int(16000 * utt_s)) * 3000).astype(np.float32)
-    cfg = DataConfig(
+    _LOADER_WAV = (rng.standard_normal(int(16000 * utt_s)) * 3000).astype(
+        np.float32
+    )
+    _LOADER_CFG = DataConfig(
         audiofeat_num_mel_bins=80, audiofeat_stack_length=7,
         audiofeat_stride_length=6,
     )
-    fbank_native(wav, 80, 25, 10, 0.0, 16000)  # warm the ctypes path
-    def one_utt(_):
-        feat = fbank_native(wav, 80, 25, 10, 0.0, 16000)
-        stacked = next(audiofeat_stack(
-            iter([{"audiofeat": feat, "key": "k"}]), cfg
-        ))["audiofeat"]
-        return stacked.shape[0]
-
-    def run(workers, n_utts):
-        from concurrent.futures import ThreadPoolExecutor
-
-        t0 = time.perf_counter()
-        if workers == 1:
-            tokens = sum(one_utt(i) for i in range(n_utts))
-        else:
-            with ThreadPoolExecutor(workers) as ex:
-                tokens = sum(ex.map(one_utt, range(n_utts)))
-        return tokens / (time.perf_counter() - t0)
-
-    one_utt(0)  # warm
+    fbank_native(_LOADER_WAV, 80, 25, 10, 0.0, 16000)  # warm ctypes
+    logmel_native(_LOADER_WAV / 32768.0, 16000, 400, 160, 128)
     cores = os.cpu_count() or 1
-    # best-of-3 per point: the measurement shares this host's core(s) with
-    # the jax runtime; a contended trial understates the loader by ~35%
-    curve = {
-        w: round(max(run(w, 20 * min(w, cores)) for _ in range(3)), 1)
-        for w in (1, 2, 4)
-    }
-    tok_s1 = curve[1]
-    # measured scaling efficiency at the deepest point this host can
-    # exercise (on a 1-core host every point measures the same core, so
-    # the curve is flat and efficiency-at-cores is 1.0 by construction)
-    w_eff = min(4, cores)
-    eff = min(1.0, curve[w_eff] / (w_eff * tok_s1)) if w_eff > 1 else 1.0
-    tok_s24 = tok_s1 * 24 * eff
-    return {
+
+    def curve(fn):
+        # best-of-3 per point: the measurement shares this host's core(s)
+        # with the jax runtime; a contended trial understates the loader
+        threads = {
+            w: round(max(
+                _loader_sweep(fn, w, 20 * min(w, cores), "threads")
+                for _ in range(3)
+            ), 1)
+            for w in (1, 2, 4)
+        }
+        procs = round(max(
+            _loader_sweep(fn, min(4, max(2, cores)), 20 * min(4, cores),
+                          "processes")
+            for _ in range(2)
+        ), 1)
+        u1 = threads[1]
+        w_eff = min(4, cores)
+        eff = (
+            min(1.0, threads[w_eff] / (w_eff * u1)) if w_eff > 1 else 1.0
+        )
+        return threads, procs, u1, eff
+
+    fb_threads, fb_procs, fb1, fb_eff = curve(_fbank_utt)
+    lm_threads, lm_procs, lm1, lm_eff = curve(_logmel_utt)
+
+    # chip-side consumption: touch_audio consumes stacked tokens at the
+    # packed-8k rate; the qwen2/kimi SFT step consumes mel frames at
+    # 2x the whisper tower's positions/s (the conv stem halves time)
+    out = {
         "available": True,
-        "loader_tokens_per_sec_by_workers": curve,
-        "workers_swept": [1, 2, 4],
         "host_cores": cores,
-        "scaling_efficiency_at_cores": round(eff, 3),
-        "rtf_1worker": round(tok_s1 / (16000 / 160 / 6), 1),
-        # production v5e hosts expose ~24 cores per chip; the projection
-        # applies the MEASURED per-worker efficiency, not an assumption
-        "headroom_x_measured": round(max(curve.values()) / model_tok_s, 2),
-        "headroom_x_24core_projected": round(tok_s24 / model_tok_s, 2),
+        "fbank80_lfr": {
+            "units": "stacked audio tokens/s",
+            "by_workers_threads": fb_threads,
+            "process_pool_at_4": fb_procs,
+            "scaling_efficiency_at_cores": round(fb_eff, 3),
+            "rtf_1worker": round(fb1 / (16000 / 160 / 6), 1),
+            "headroom_x_measured": round(
+                max(max(fb_threads.values()), fb_procs) / model_tok_s, 2
+            ),
+            "headroom_x_24core_projected": round(
+                fb1 * 24 * fb_eff / model_tok_s, 2
+            ),
+        },
+        "logmel128_sft": {
+            "units": "mel frames/s",
+            "by_workers_threads": lm_threads,
+            "process_pool_at_4": lm_procs,
+            "scaling_efficiency_at_cores": round(lm_eff, 3),
+            "rtf_1worker": round(lm1 / (16000 / 160), 1),
+        },
     }
+    if whisper_positions_s:
+        need = 2.0 * whisper_positions_s  # mel frames consumed per second
+        out["logmel128_sft"]["headroom_x_measured"] = round(
+            max(max(lm_threads.values()), lm_procs) / need, 2
+        )
+        out["logmel128_sft"]["headroom_x_24core_projected"] = round(
+            lm1 * 24 * lm_eff / need, 2
+        )
+    return out
 
 
 def acquire_backend(attempts=5, base_delay_s=10.0):
@@ -511,6 +594,7 @@ def main():
     rloader = secondary(
         loader_headroom,
         raudio.get("tokens_per_sec_per_chip") or r8k["tokens_per_sec_per_chip"],
+        whisper_positions_s=rwhisper.get("positions_per_sec"),
     )
 
     result = {

@@ -188,18 +188,27 @@ def _bwd_kernel(
     vi, ri = pl.program_id(0), pl.program_id(1)
     rows = pl.ds(ri * r_blk, r_blk)
 
-    t2 = jax.lax.dot_general(
+    # low-precision recompute chain for bf16 inputs (same dtype gate as the
+    # flash kernels): dl feeds two bf16 matmuls anyway, so the exp2 and fma
+    # passes run in bf16 — half the VPU bytes, no separate cast pass; grads
+    # differ from the f32 chain at the already-accepted bf16-rounding level.
+    # f32 inputs keep the exact f32 chain (tests pin it at 2e-5).
+    lp = jnp.bfloat16 if h_ref.dtype == jnp.bfloat16 else jnp.float32
+    t2 = (jax.lax.dot_general(
         h_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * LOG2E
-    p = jnp.exp2(t2 - lse2_ref[0, rows][:, None])  # softmax, natural value
+    ) * LOG2E).astype(lp)
+    p = jnp.exp2(
+        t2 - lse2_ref[0, rows][:, None].astype(lp)
+    )  # softmax, natural value
 
     local_lab = lab_ref[0, rows] - vi * v_blk
     cols = jax.lax.broadcasted_iota(jnp.int32, (r_blk, v_blk), 1)
-    onehot = (cols == local_lab[:, None]).astype(jnp.float32)
+    onehot = (cols == local_lab[:, None]).astype(lp)
 
     dl = (
-        dlse_ref[0, rows][:, None] * p + dtl_ref[0, rows][:, None] * onehot
+        dlse_ref[0, rows][:, None].astype(lp) * p
+        + dtl_ref[0, rows][:, None].astype(lp) * onehot
     ).astype(h_ref.dtype)
 
     dh_c = jax.lax.dot_general(
