@@ -795,28 +795,68 @@ class Trainer:
         for k, a in arrays.items():
             if np.issubdtype(a.dtype, np.floating) and not np.isfinite(a).all():
                 raise ValueError(f"NaN/inf in data batch `{k}`.")
-        specs = (microbatch_specs if self._accum > 1 else batch_specs)(
-            arrays, self.mesh
-        )
         if jax.process_count() > 1:
+            # specs must be computed against GLOBAL shapes: this process's
+            # arrays hold only its local dp-rank rows, and the spec shrinker
+            # (sharding._shrink_spec_to_shape) would see a batch dim that the
+            # dp axis doesn't divide and silently drop the dp sharding —
+            # make_array_from_process_local_data would then mis-assemble the
+            # local rows as a replicated GLOBAL batch (caught by the
+            # 2-process trainer test, tests/.../test_multihost.py)
+            scale = self.parallel_dims.dp_degree // max(
+                1, len(self._local_dp_ranks or [])
+            )
+            batch_axis = 1 if self._accum > 1 else 0
+            gabstract = {
+                k: jax.ShapeDtypeStruct(
+                    a.shape[:batch_axis]
+                    + (a.shape[batch_axis] * scale,)
+                    + a.shape[batch_axis + 1:],
+                    a.dtype,
+                )
+                if a.ndim > batch_axis else jax.ShapeDtypeStruct(a.shape, a.dtype)
+                for k, a in arrays.items()
+            }
+            specs = (microbatch_specs if self._accum > 1 else batch_specs)(
+                gabstract, self.mesh
+            )
             device_batch = jax.tree.map(
                 lambda a, sh: jax.make_array_from_process_local_data(sh, a),
                 arrays, specs,
             )
-            num_sentence = jnp.asarray(
-                float(batch.get("num_sentence", 0)), jnp.float32
-            )
-            # global sentence count: sum over processes (reference
-            # dist_sum over mesh["dp"], train.py:340-343)
-            from jax.experimental import multihost_utils
-
-            num_sentence = multihost_utils.process_allgather(num_sentence).sum()
+            # LOCAL sentence count; the caller folds it into the global sum
+            # with _global_num_sentence. The allgather must NOT happen here:
+            # _put_batch runs on the DevicePrefetcher fill thread, and a
+            # cross-process collective issued from a background thread
+            # interleaves unpredictably with the main thread's train-step
+            # collectives — processes then disagree on collective order and
+            # deadlock (flushed out by the 2-process trainer test; the
+            # watchdog thread-dump showed one process in process_allgather
+            # on its fill thread while its peer sat in device_get).
+            num_sentence = float(batch.get("num_sentence", 0))
         else:
+            specs = (microbatch_specs if self._accum > 1 else batch_specs)(
+                arrays, self.mesh
+            )
             device_batch = jax.device_put(arrays, specs)
             num_sentence = jnp.asarray(batch.get("num_sentence", 0), jnp.float32)
         for k in _BATCH_ARRAY_KEYS:
             device_batch.setdefault(k, None)
         return device_batch, num_sentence
+
+    @staticmethod
+    def _global_num_sentence(num_sentence):
+        """Sum the per-process sentence counts (reference dist_sum over
+        mesh["dp"], train.py:340-343). MAIN THREAD ONLY: every process must
+        issue its collectives in one order from one thread — this runs at
+        batch consumption, strictly alternating with train-step dispatch."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(
+                jnp.asarray(num_sentence, jnp.float32)
+            ).sum()
+        return jnp.asarray(num_sentence, jnp.float32)
 
     def train(self):
         cfg = self.job_config
@@ -908,6 +948,7 @@ class Trainer:
                 t0 = time.perf_counter()
                 try:
                     device_batch, num_sentence, ntokens = next(data_iter)
+                    num_sentence = self._global_num_sentence(num_sentence)
                 except StopIteration:
                     logger.info("dataloader exhausted; ending training")
                     break
@@ -992,6 +1033,7 @@ class Trainer:
             elif batch is None:
                 break
             device_batch, num_sentence = self._put_batch(batch)
+            num_sentence = self._global_num_sentence(num_sentence)
             m = jax.device_get(
                 self.eval_step_fn(self.params, device_batch, num_sentence)
             )
