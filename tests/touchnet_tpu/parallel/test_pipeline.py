@@ -503,3 +503,92 @@ def test_interleaved_tp_forward_matches_golden():
         ))(sharded, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "dp_shard,tp,rotate",
+    [(2, 1, "allgather"), (2, 1, "alltoall"), (1, 2, "allgather")],
+)
+def test_pipeline_cp_forward_matches_golden(dp_shard, tp, rotate):
+    """pp x cp (x fsdp / x tp): the stage body runs CP attention (allgather
+    or ring) on its cp-local sequence block (reference composes CP with
+    every axis incl. PP, bin/train.py:354-391)."""
+    config = LlamaConfig.from_json_file(CFG)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+
+    pd = ParallelDims(
+        world_size=2 * 2 * dp_shard * tp, dp_shard=dp_shard, cp=2, tp=tp, pp=2,
+    )
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="none",
+            rotate_method=rotate,
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("rotate", ["allgather", "alltoall"])
+def test_pipeline_cp_grads_match_golden(rotate):
+    """pp=2 x cp=2 x fsdp=2 gradients vs the single-device dense model."""
+    config = LlamaConfig.from_json_file(CFG)
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (8, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=8, dp_shard=2, cp=2, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    def loss_pp(p):
+        logits = pipeline_forward(
+            p, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="full",
+            rotate_method=rotate,
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        logits = forward(p, input_ids=ids, config=config,
+                         compute_dtype=jnp.float32)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(sharded)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_train_e2e_pipeline_cp(tmp_path):
+    """4-D layout: pp=2 x cp=2 x fsdp=2 through the full trainer."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bin"))
+    from test_train import build_corpus, make_args, run_trainer
+
+    listfile = build_corpus(tmp_path)
+    argv = make_args(
+        tmp_path, listfile, steps=3,
+        training_data_parallel_shard_degree=2,
+        training_data_parallel_replicate_degree=1,
+        training_tensor_parallel_degree=1,
+        training_context_parallel_degree=2,
+        training_pipeline_parallel_degree=2,
+        dataset_batchsize=2,
+    )
+    trainer = run_trainer(argv)
+    assert trainer.step == 3

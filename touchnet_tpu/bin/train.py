@@ -515,6 +515,7 @@ class Trainer:
                 remat_mode=cfg.training_activation_checkpoint_mode,
                 schedule=cfg.training_pipeline_parallel_schedule,
                 split_points=cfg.training_pipeline_parallel_split_points,
+                rotate_method=cfg.training_context_parallel_rotate_method,
             )
         attn_fn = make_sharded_attn_fn(
             self.mesh,

@@ -44,6 +44,7 @@ def pipeline_forward(
     shard_fn=None,
     schedule: str = "1F1B",
     split_points: Optional[str] = None,
+    rotate_method: str = "allgather",
 ) -> jax.Array:
     """Pipelined logits [B, T, V]. Microbatch count defaults to pp degree
     (reference build_pipeline_schedule default)."""
@@ -81,12 +82,40 @@ def pipeline_forward(
                                 rope_scaling=config.rope_scaling)
 
     use_pallas = jax.default_backend() == "tpu"
+    cp = mesh.shape.get("cp", 1)
 
     def attn(q, k, v, seg):
         # inside shard_map: run the local kernel directly (falls back to the
         # dense reference off-TPU). bthd dynamic-trip kernels: the r4 chip
         # sweep rejected the grouped-IO layout at step level (see
         # modeling_llama._default_attn)
+        if cp > 1:
+            # pp x cp: h enters the lockstep loop sequence-sharded on "cp"
+            # (pipeline_apply h_spec), so the stage body runs the same two CP
+            # methods as the non-pp path (parallel/context_parallel.py):
+            # reference composability is touchnet/bin/train.py:354-391 (the
+            # CP context shards buffers per-batch, independent of schedule).
+            if rotate_method == "alltoall":
+                from touchnet_tpu.ops.ring_attention import (
+                    make_ring_attention, ring_attention_jnp,
+                )
+
+                if use_pallas:
+                    ring = make_ring_attention(
+                        "cp", cp, block_q=block_q, block_kv=block_kv
+                    )
+                    return ring(q, k, v, seg, seg)
+                return ring_attention_jnp(q, k, v, seg, seg, "cp", cp)
+            k_full = jax.lax.all_gather(k, "cp", axis=1, tiled=True)
+            v_full = jax.lax.all_gather(v, "cp", axis=1, tiled=True)
+            seg_full = jax.lax.all_gather(seg, "cp", axis=1, tiled=True)
+            q_off = jax.lax.axis_index("cp") * q.shape[1]
+            return flash_attention(
+                q, k_full, v_full, seg,
+                kv_segment_ids=seg_full, q_offset=q_off,
+                block_q=block_q, block_kv=block_kv,
+                use_pallas=use_pallas, dynamic=True,
+            )
         return flash_attention(
             q, k, v, seg, block_q=block_q, block_kv=block_kv,
             use_pallas=use_pallas, dynamic=True,
@@ -155,6 +184,8 @@ def pipeline_forward(
         {"segment_ids": segment_ids, "position_ids": position_ids},
         n_microbatches, remat=(remat_mode != "none"),
         layer_specs=layer_specs, schedule=schedule, virtual_stages=V,
+        # ring CP puts ppermutes inside the stage body: see pipeline_apply
+        cond_skip=not (cp > 1 and rotate_method == "alltoall"),
     )
     h = rms_norm(h, mp["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
     head_w = (

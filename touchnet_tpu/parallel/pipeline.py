@@ -96,6 +96,7 @@ def pipeline_apply(
     layer_specs=None,  # PartitionSpec pytree for params_layers (P("pp", ...))
     schedule: str = "1F1B",
     virtual_stages: int = 1,
+    cond_skip: bool = True,
 ):
     """Skewed SPMD pipeline: returns h_out [B, T, E] (last stage's results,
     replicated across pp)."""
@@ -145,8 +146,14 @@ def pipeline_apply(
     # 1 — the spmd partitioner cannot re-tile that and falls back to
     # "involuntary full rematerialization": replicate-then-repartition,
     # a step-time cliff at scale. Round-2 VERDICT weak #1.)
-    h_spec = P(BATCH, None, None)  # [B, T, E]
-    extras_spec = jax.tree.map(lambda _: P(BATCH), extras)
+    # T is additionally cp-sharded (pp x cp composition, reference
+    # bin/train.py:354-391 — the CP buffer shard is per-batch and so
+    # orthogonal to the schedule): each tick's stage body sees a [b, T/cp, E]
+    # block and does its own CP attention (allgather or ring over "cp"); all
+    # other per-tick ops are position-local. When cp == 1 the specs reduce to
+    # the plain layout.
+    h_spec = P(BATCH, "cp", None)  # [B, T, E]
+    extras_spec = jax.tree.map(lambda _: P(BATCH, "cp"), extras)
 
     body = stage_fn
     if remat:
@@ -218,11 +225,21 @@ def pipeline_apply(
                 )
             # ramp-up/down ticks carry no live microbatch for this stage:
             # skip the body (each core branches independently; the cond's
-            # backward is likewise trivial on skipped ticks)
+            # backward is likewise trivial on skipped ticks). When the stage
+            # body ITSELF contains collectives (pp x cp ring attention:
+            # ppermute over "cp"), control-flow skipping is off — a
+            # collective-permute inside a cond branch crashes XLA even though
+            # all its participants (same pp coord) branch together — and
+            # validity selects DATA instead: the body runs every tick, where()
+            # keeps the relay value on dead ticks (the ramp cost it re-adds
+            # is (S-1)/M extra stage-compute, the schedule's bubble itself).
             valid = (t >= s) & (t - s < M_ * V)
-            y = jax.lax.cond(
-                valid, lambda: body(chunk, x, ex), lambda: x
-            )
+            if cond_skip:
+                y = jax.lax.cond(
+                    valid, lambda: body(chunk, x, ex), lambda: x
+                )
+            else:
+                y = jnp.where(valid, body(chunk, x, ex), x)
             # last stage's final-round output is microbatch g - (V-1)*M;
             # zero elsewhere so one psum outside the scan publishes it
             y_out = jnp.where(
@@ -294,12 +311,10 @@ def virtual_stages_of(
 
 
 def validate_pp_composition(parallel_dims, job_config=None):
-    assert not (parallel_dims.pp_enabled and parallel_dims.cp_enabled), (
-        "pipeline parallel composes with dp_replicate, dp_shard (FSDP) and "
-        "tp (manual Megatron collectives inside the stage body); CP's ring "
-        "attention inside the lockstep loop is not wired — use pp x dp x tp, "
-        "or cp without pp"
-    )
+    # pp composes with dp_replicate, dp_shard (FSDP), tp (Megatron
+    # collectives inside the stage body) AND cp (the stage body runs CP
+    # attention — allgather or ring — over the "cp" axis on its cp-local
+    # sequence block; pipeline_apply shards T on "cp")
     if job_config is not None:
         if job_config.training_pipeline_parallel_schedule_csv:
             raise NotImplementedError(
