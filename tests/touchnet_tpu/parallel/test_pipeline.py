@@ -592,3 +592,124 @@ def test_train_e2e_pipeline_cp(tmp_path):
     )
     trainer = run_trainer(argv)
     assert trainer.step == 3
+
+
+@pytest.mark.parametrize(
+    "layers,pp,dp_shard,micro", [(3, 2, 2, 2), (5, 4, 2, 4)]
+)
+def test_pipeline_nondivisible_layers_matches_golden(layers, pp, dp_shard, micro):
+    """Non-divisible layer counts: pipeline_apply tail-pads the stacked
+    axis to ceil-blocks and masks the dead slots (reference supports the
+    same via arbitrary manual split points, pipeline_llama.py:31-337)."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        LlamaConfig.from_json_file(CFG), num_hidden_layers=layers
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+
+    pd = ParallelDims(world_size=pp * dp_shard, dp_shard=dp_shard, pp=pp)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh, n_microbatches=micro,
+            compute_dtype=jnp.float32, remat_mode="none",
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_pipeline_nondivisible_grads_match_golden():
+    """L=3 on pp=2 x fsdp=2: padded slots must see exactly-zero gradients
+    and real-layer grads must match the dense model."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        LlamaConfig.from_json_file(CFG), num_hidden_layers=3
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (4, 32), 0, config.vocab_size)
+    pd = ParallelDims(world_size=4, dp_shard=2, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    def loss_pp(p):
+        logits = pipeline_forward(
+            p, input_ids=ids, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="full",
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        logits = forward(p, input_ids=ids, config=config,
+                         compute_dtype=jnp.float32)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    with mesh:
+        g_pp = jax.jit(jax.grad(loss_pp))(sharded)
+    g_ref = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_pipeline_nondivisible_interleaved_matches_golden():
+    """L=6 on pp=2 x Interleaved V=2: K=2, counts [2,2,2,0] — an entirely
+    dead trailing virtual stage must relay untouched."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        LlamaConfig.from_json_file(CFG), num_hidden_layers=6
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (8, 32), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+    pd = ParallelDims(world_size=4, dp_shard=2, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh, n_microbatches=4,
+            compute_dtype=jnp.float32, remat_mode="none",
+            schedule="Interleaved1F1B", split_points="2,4,6",
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_parse_split_points_ceil_blocks():
+    from touchnet_tpu.parallel.pipeline import (
+        parse_split_points, stage_layer_counts,
+    )
+
+    assert stage_layer_counts(3, 2) == ([2, 1], 2)
+    assert stage_layer_counts(5, 4) == ([2, 2, 1, 0], 2)
+    assert stage_layer_counts(6, 2, virtual=2) == ([2, 2, 2, 0], 2)
+    parse_split_points("2", 3, 2)          # the ceil-block boundary
+    parse_split_points("2", 4, 2)          # the equal split, as before
+    parse_split_points("2,4,5", 5, 4)      # trailing dead stage
+    with pytest.raises(NotImplementedError):
+        parse_split_points("1", 3, 2)      # unbalanced: tick-equivalent max
+    with pytest.raises(NotImplementedError):
+        parse_split_points("1,2", 12, 3)   # reference-style arbitrary split

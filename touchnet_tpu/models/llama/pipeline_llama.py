@@ -23,6 +23,7 @@ from touchnet_tpu.parallel.pipeline import (
     make_layer_gather,
     parse_split_points,
     pipeline_apply,
+    stage_layer_counts,
     virtual_stages_of,
 )
 
@@ -125,8 +126,24 @@ def pipeline_forward(
     # weight dims) drive both the shard_map in_specs and the per-layer gather
     from touchnet_tpu.parallel.sharding import LLAMA_PARAM_RULES, param_shardings
 
+    # Non-divisible layer counts: tail-pad the stack to S*V*K BEFORE the
+    # specs are derived — param_shardings shrinks a "pp" entry off any dim
+    # the mesh can't divide, which would hand every stage the FULL stack.
+    # Storage-level shardings (named_shardings on the unpadded [L] params)
+    # shrink the same way, so off-divisible stacks are stored fsdp-sharded
+    # but pp-replicated (a factor-S memory overhead on the stacked layers
+    # only in this edge case); the pad is a local op at the shard_map edge.
+    counts, _K = stage_layer_counts(config.num_hidden_layers, S, V)
+    needs_mask = config.num_hidden_layers % (S * V) != 0
+    layers_stacked = mp["layers"]
+    if needs_mask:
+        lpad = S * V * _K - config.num_hidden_layers
+        layers_stacked = jax.tree.map(
+            lambda x: jnp.pad(x, [(0, lpad)] + [(0, 0)] * (x.ndim - 1)),
+            layers_stacked,
+        )
     layer_specs = param_shardings(
-        mp["layers"], mesh, pp_param_rules(LLAMA_PARAM_RULES)
+        layers_stacked, mesh, pp_param_rules(LLAMA_PARAM_RULES)
     )
     # PP x TP (reference applies the TP plan per pipeline stage,
     # touchnet/bin/train.py:217-254): inside the stage body the tp weight
@@ -160,7 +177,11 @@ def pipeline_forward(
         else (lambda a, kind: a)
     )
 
-    def stage_fn(layers_local, x, extras):
+    # the stage body masks slot j >= counts[stage] to an identity relay so
+    # the padded (zero) weights see exactly-zero grads
+    counts_arr = jnp.asarray(counts, jnp.int32)
+
+    def stage_fn(layers_local, x, extras, stage_idx):
         layer = functools.partial(
             decoder_layer,
             cos_sin_posids=extras["position_ids"],
@@ -171,16 +192,32 @@ def pipeline_forward(
             shard_fn=stage_shard_fn,
         )
 
-        def body(carry, lp):
-            lp = gather(lp)  # FSDP all-gather; re-gathered in the backward
-            lp = jax.tree.map(lambda p: p.astype(compute_dtype), lp)
-            return layer(carry, lp), None
+        if not needs_mask:  # divisible: keep the hot path mask-free
+            def body(carry, lp):
+                lp = gather(lp)  # FSDP all-gather; re-gathered in backward
+                lp = jax.tree.map(lambda p: p.astype(compute_dtype), lp)
+                return layer(carry, lp), None
 
-        x, _ = jax.lax.scan(body, x, layers_local)
+            x, _ = jax.lax.scan(body, x, layers_local)
+            return x
+
+        count = counts_arr[stage_idx]
+
+        def body(carry, inp):
+            lp, j = inp
+            lp = gather(lp)
+            lp = jax.tree.map(lambda p: p.astype(compute_dtype), lp)
+            y = layer(carry, lp)
+            return jnp.where(j < count, y, carry), None
+
+        n_slots = jax.tree.leaves(layers_local)[0].shape[0]
+        x, _ = jax.lax.scan(
+            body, x, (layers_local, jnp.arange(n_slots, dtype=jnp.int32))
+        )
         return x
 
     h = pipeline_apply(
-        mesh, stage_fn, mp["layers"], h,
+        mesh, stage_fn, layers_stacked, h,
         {"segment_ids": segment_ids, "position_ids": position_ids},
         n_microbatches, remat=(remat_mode != "none"),
         layer_specs=layer_specs, schedule=schedule, virtual_stages=V,

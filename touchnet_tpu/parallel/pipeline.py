@@ -5,8 +5,10 @@
 # 31-337 + utils/distributed.py:496-667 — manual layer-range split,
 # PipelineStage + 1F1B/Interleaved/ZBV schedules over NCCL P2P). TPU-native
 # re-design: there is no per-rank model surgery — the SAME program runs on
-# every device under shard_map; each stage holds an equal slice of the
-# stacked layer axis via a P("pp", ...) sharding, activations move
+# every device under shard_map; each stage holds a ceil-block slice of the
+# stacked layer axis via a P("pp", ...) sharding (non-divisible layer
+# counts tail-pad with masked identity slots — see stage_layer_counts for
+# why that is tick-optimal vs arbitrary unequal splits), activations move
 # stage->stage with lax.ppermute, and the schedule is a skewed loop of
 # (microbatches + stages - 1) ticks emitting per-tick outputs:
 #   - invalid ramp-up/ramp-down ticks are SKIPPED via lax.cond (each TPU
@@ -85,9 +87,23 @@ def make_layer_gather(layer_specs, mesh: Mesh, keep_axes=()) -> Callable:
     return gather
 
 
+def stage_layer_counts(num_layers: int, pp: int, virtual: int = 1):
+    """Per-semantic-stage layer counts under the contiguous ceil-block
+    split: K = ceil(L / (S*V)), stage t holds layers [t*K, min((t+1)*K, L)).
+    In the lockstep loop every stage ticks together, so step time is set by
+    max_t counts[t] >= ceil(L/n) — this split achieves that bound, making it
+    wall-clock-equivalent to ANY balanced unequal split (reference
+    pipeline_llama.py:31-337 manual splits). Non-divisible L tail-pads the
+    stacked axis with masked identity slots (see pipeline_apply)."""
+    n = pp * virtual
+    K = -(-num_layers // n)
+    counts = [max(0, min(num_layers - t * K, K)) for t in range(n)]
+    return counts, K
+
+
 def pipeline_apply(
     mesh: Mesh,
-    stage_fn: Callable,  # (local_layers, h [b,T,E], extras_microbatch) -> h
+    stage_fn: Callable,  # (local_layers, h [b,T,E], extras_mb, stage_idx) -> h
     params_layers,  # stacked [L, ...] pytree, sharded per layer_specs
     h: jax.Array,  # [B, T, E] embedded inputs (replicated over pp)
     extras,  # pytree of [B, T, ...] per-position arrays (seg/pos ids)
@@ -124,6 +140,22 @@ def pipeline_apply(
 
     if layer_specs is None:
         layer_specs = jax.tree.map(lambda _: P("pp"), params_layers)
+    # Non-divisible layer counts: tail-pad the stacked axis to S*V*K zero
+    # slots (GSPMD compiles the pad locally — the pad region coincides with
+    # the uneven P("pp") sharding's implicit padding). The stage body masks
+    # slot j >= counts[stage] to an identity relay, so padded slots see
+    # exactly-zero gradients; the pad's transpose (a slice) returns grads in
+    # the original [L, ...] layout, keeping optimizer state and checkpoints
+    # pp-degree-portable. stage_layer_counts documents why this contiguous
+    # ceil split is tick-optimal vs reference-style arbitrary splits.
+    L0 = jax.tree.leaves(params_layers)[0].shape[0]
+    _, K = stage_layer_counts(L0, S, V)
+    lpad = S * V * K - L0
+    if lpad:
+        params_layers = jax.tree.map(
+            lambda x: jnp.pad(x, [(0, lpad)] + [(0, 0)] * (x.ndim - 1)),
+            params_layers,
+        )
     if V > 1:
         # strided virtual-stage assignment: [L, ...] -> [V, S*K, ...] is a
         # free reshape, and sharding dim 1 on "pp" puts semantic stages
@@ -234,12 +266,15 @@ def pipeline_apply(
             # keeps the relay value on dead ticks (the ramp cost it re-adds
             # is (S-1)/M extra stage-compute, the schedule's bubble itself).
             valid = (t >= s) & (t - s < M_ * V)
+            # semantic stage this device runs in round v (the stage body
+            # needs it to mask padded layer slots on non-divisible splits)
+            t_stage = v_here * S + s
             if cond_skip:
                 y = jax.lax.cond(
-                    valid, lambda: body(chunk, x, ex), lambda: x
+                    valid, lambda: body(chunk, x, ex, t_stage), lambda: x
                 )
             else:
-                y = jnp.where(valid, body(chunk, x, ex), x)
+                y = jnp.where(valid, body(chunk, x, ex, t_stage), x)
             # last stage's final-round output is microbatch g - (V-1)*M;
             # zero elsewhere so one psum outside the scan publishes it
             y_out = jnp.where(
@@ -273,21 +308,32 @@ def parse_split_points(
     split_points: Optional[str], num_layers: int, pp: int, virtual: int = 1
 ) -> None:
     """Consume training_pipeline_parallel_split_points (reference
-    pipeline_llama.py:31-337 manual split). The stacked-scan design splits
-    the layer axis into EQUAL pp * virtual chunks; explicit split points
-    are accepted when they describe exactly that split, and rejected loudly
-    otherwise (unequal stages would need padded per-stage layer counts)."""
+    pipeline_llama.py:31-337 manual split). The stacked-scan design assigns
+    stage t the contiguous ceil-block [t*K, min((t+1)*K, L)) with
+    K = ceil(L/(S*V)) — non-divisible layer counts tail-pad the stacked axis
+    with masked slots (pipeline_apply). Explicit split points are accepted
+    when they describe exactly that assignment; any other (reference-style
+    arbitrary) split is rejected WITH the arithmetic: the lockstep loop
+    ticks all stages together, so step time is set by the largest stage
+    (>= ceil(L/n) layers) — the ceil-block split achieves that bound, making
+    every other split equivalent or strictly slower. The reference's one
+    real motive for unequal splits (an embedding/head-heavy end stage) does
+    not arise here: embed/head run SPMD outside the tick loop, replicated
+    across pp (pp_param_rules), so stage bodies are homogeneous per layer."""
     if not split_points:
         return
     n = pp * virtual
+    _, K = stage_layer_counts(num_layers, pp, virtual)
     pts = [int(p) for p in str(split_points).split(",") if str(p).strip()]
-    expected = [num_layers // n * i for i in range(1, n)]
-    if num_layers % n != 0 or pts != expected:
+    expected = [min(K * i, num_layers) for i in range(1, n)]
+    if pts != expected:
         raise NotImplementedError(
-            f"pipeline_parallel_split_points={pts}: the TPU pipeline shards "
-            f"the stacked layer axis equally; with {num_layers} layers, "
-            f"pp={pp} and {virtual} virtual stage(s) the only supported "
-            f"split is {expected}"
+            f"pipeline_parallel_split_points={pts}: the lockstep SPMD "
+            f"pipeline ticks all stages together, so step time is set by "
+            f"the largest stage (>= ceil(L/n) layers); the ceil-block split "
+            f"{expected} ({num_layers} layers, pp={pp} x {virtual} virtual "
+            f"stages) achieves that bound, so any other split is equivalent "
+            f"or slower — use that split or omit the flag"
         )
 
 
