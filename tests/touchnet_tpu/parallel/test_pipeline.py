@@ -713,3 +713,36 @@ def test_parse_split_points_ceil_blocks():
         parse_split_points("1", 3, 2)      # unbalanced: tick-equivalent max
     with pytest.raises(NotImplementedError):
         parse_split_points("1,2", 12, 3)   # reference-style arbitrary split
+
+
+@pytest.mark.parametrize("rotate", ["allgather", "alltoall"])
+def test_pipeline_nondivisible_cp_matches_golden(rotate):
+    """The two r5 features composed: L=3 ceil-block padding under
+    pp=2 x cp=2 (masked dead slot + CP attention in the stage body)."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        LlamaConfig.from_json_file(CFG), num_hidden_layers=3
+    )
+    params = init_params(config, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(4), (8, 64), 0, config.vocab_size)
+    golden = forward(params, input_ids=ids, config=config,
+                     compute_dtype=jnp.float32)
+    pd = ParallelDims(world_size=8, dp_shard=2, cp=2, pp=2)
+    mesh = pd.build_mesh()
+    sharded = jax.device_put(
+        params, named_shardings(params, mesh, pp_param_rules(LLAMA_PARAM_RULES))
+    )
+
+    @jax.jit
+    def run(p, i):
+        return pipeline_forward(
+            p, input_ids=i, config=config, mesh=mesh,
+            compute_dtype=jnp.float32, remat_mode="none",
+            rotate_method=rotate,
+        )
+
+    with mesh:
+        got = run(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
+                               atol=2e-4, rtol=2e-4)
