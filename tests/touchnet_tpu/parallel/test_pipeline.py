@@ -746,3 +746,30 @@ def test_pipeline_nondivisible_cp_matches_golden(rotate):
         got = run(sharded, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(golden),
                                atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.slow
+def test_train_pipeline_ckpt_resume(tmp_path):
+    """Checkpoint save + resume under pp=2 x fsdp=2: the pp-sharded stacked
+    layer stack must restore onto the pipeline mesh and continue from the
+    saved step (reference: DCP resume under any parallelism)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bin"))
+    from test_train import build_corpus, make_args, run_trainer
+
+    listfile = build_corpus(tmp_path)
+    common = dict(
+        training_data_parallel_shard_degree=4,
+        training_data_parallel_replicate_degree=1,
+        training_tensor_parallel_degree=1,
+        training_pipeline_parallel_degree=2,
+        dataset_batchsize=2,
+        training_enable_ckpt=True,
+        training_ckpt_interval=2,
+    )
+    run_trainer(make_args(tmp_path, listfile, steps=4, **common))
+    ckpt_dir = tmp_path / "exp" / "checkpoint"
+    steps = sorted(p for p in os.listdir(ckpt_dir) if p.startswith("step"))
+    assert any("4" in s for s in steps), steps
+
+    trainer = run_trainer(make_args(tmp_path, listfile, steps=6, **common))
+    assert trainer.step == 6
