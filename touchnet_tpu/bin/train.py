@@ -347,7 +347,8 @@ class Trainer:
             validate_pp_composition(self.parallel_dims, job_config)
             assert self.train_spec.pipelining_fn is not None, (
                 f"{self.train_spec.name} has no pipeline-parallel support "
-                "(reference: only llama has a pipelining_fn)"
+                "(llama and touch_audio register a pipelining_fn; the "
+                "reference pipelines only llama)"
             )
         if self.train_spec.dp_only:
             assert not (
@@ -503,6 +504,11 @@ class Trainer:
 
             mod_path, fn_name = self.train_spec.pipelining_fn.rsplit(".", 1)
             pipeline_forward = getattr(importlib.import_module(mod_path), fn_name)
+            extra = {}
+            if batch.get("input_features") is not None:
+                # multimodal pipelining (touch_audio): fusion runs in the
+                # SPMD preamble outside the tick loop
+                extra["input_features"] = batch["input_features"]
             return pipeline_forward(
                 params,
                 input_ids=batch.get("input_ids"),
@@ -516,6 +522,7 @@ class Trainer:
                 schedule=cfg.training_pipeline_parallel_schedule,
                 split_points=cfg.training_pipeline_parallel_split_points,
                 rotate_method=cfg.training_context_parallel_rotate_method,
+                **extra,
             )
         attn_fn = make_sharded_attn_fn(
             self.mesh,

@@ -28,6 +28,26 @@ from touchnet_tpu.parallel.pipeline import (
 )
 
 
+def embed_tokens_sharded(mp: dict, input_ids: jax.Array, mesh) -> jax.Array:
+    """Token-embedding take with the same gather-cliff avoidance as
+    forward(): vocab stays tp-sharded, E gathers before the take
+    (sharding.py ACTIVATION_SPECS notes). Shared with the touch_audio
+    pipelining path."""
+    from jax.sharding import NamedSharding
+
+    from touchnet_tpu.parallel.sharding import (
+        ACTIVATION_SPECS, _shrink_spec_to_shape,
+    )
+
+    table = mp["embed_tokens"]["weight"]
+    table = jax.lax.with_sharding_constraint(
+        table, NamedSharding(mesh, _shrink_spec_to_shape(
+            ACTIVATION_SPECS["embed_table"], table.shape, mesh
+        )),
+    )
+    return jnp.take(table, input_ids, axis=0)
+
+
 def pipeline_forward(
     params: dict,
     *,
@@ -58,21 +78,7 @@ def pipeline_forward(
     parse_split_points(split_points, config.num_hidden_layers, S, V)
     mp = params["model"]
     if inputs_embeds is None:
-        # same gather-cliff avoidance as forward(): vocab stays tp-sharded,
-        # E gathers before the take (sharding.py ACTIVATION_SPECS notes)
-        from jax.sharding import NamedSharding
-
-        from touchnet_tpu.parallel.sharding import (
-            ACTIVATION_SPECS, _shrink_spec_to_shape,
-        )
-
-        table = mp["embed_tokens"]["weight"]
-        table = jax.lax.with_sharding_constraint(
-            table, NamedSharding(mesh, _shrink_spec_to_shape(
-                ACTIVATION_SPECS["embed_table"], table.shape, mesh
-            )),
-        )
-        inputs_embeds = jnp.take(table, input_ids, axis=0)
+        inputs_embeds = embed_tokens_sharded(mp, input_ids, mesh)
     h = inputs_embeds.astype(compute_dtype)
     B, T, _ = h.shape
     if position_ids is None:
@@ -247,8 +253,12 @@ def pp_param_rules(base_rules):
         # stacked layer rules are written against the [L, ...] layout: the
         # leading entry is None (the L dim) followed by the weight dims
         # (sharding.py LLAMA_PARAM_RULES); non-layer params (embed/head:
-        # leading tp; final norm/biases: 1-entry specs) pass through
-        if entries and entries[0] is None and len(entries) >= 2:
+        # leading tp; final norm/biases: 1-entry specs) pass through. The
+        # touch_audio projector is 2-D [E, audio_in] but NOT stacked — it
+        # runs in the fused-embeds SPMD preamble outside the tick loop
+        if "projector" in pat:
+            rules.append((pat, spec))
+        elif entries and entries[0] is None and len(entries) >= 2:
             rules.append((pat, P("pp", *entries[1:])))
         else:
             rules.append((pat, spec))

@@ -51,5 +51,12 @@ register_train_spec(
         param_rules=TOUCH_AUDIO_PARAM_RULES,
         head_weight_fn=head_weight,
         forward_batch_keys=("input_ids", "inputs_embeds", "input_features"),
+        # BEYOND reference parity: the reference pipelines only llama —
+        # here the projector fusion runs outside the tick loop, so the
+        # backbone pipelines unchanged (pipeline_touch_audio.py)
+        pipelining_fn=(
+            "touchnet_tpu.models.touch_audio.pipeline_touch_audio"
+            ".pipeline_forward"
+        ),
     )
 )
