@@ -237,6 +237,33 @@ def test_dynamic_batch_rejects_multiple_media_spans(monkeypatch):
         list(pk.dynamic_batch(iter(samples), cfg, extract_fn, tok))
 
 
+def test_dynamic_batch_rejects_multi_id_media_markers():
+    """A tokenizer that splits <|im_media_begin|>/<|im_media_end|> into
+    several ids can never emit the single marker ids the model's span
+    locator matches (config.kimia_media_begin/end) — the batcher must
+    reject that tokenizer at setup instead of silently producing batches
+    whose speech merge scatters nowhere."""
+    from touchnet_tpu.models.kimi_audio import processing_kimi_audio as pk
+
+    class _SplitMarkerTokenizer(_FakeKimiTokenizer):
+        SPECIALS = {k: v for k, v in _FakeKimiTokenizer.SPECIALS.items()
+                    if k != "<|im_media_begin|>"}  # begin falls to chars
+
+    cfg = DataConfig(dataset_batchsize=1, dataset_text_seqlen=4096,
+                     dataloader_drop_last_batch=False,
+                     audiofeat_num_mel_bins=16)
+
+    def extract_fn(waveform, sr):
+        n = 480
+        return np.zeros((n, 16), np.float32), np.ones(n, np.int32)
+
+    samples = [{"waveform": np.zeros((1, 8000), np.float32),
+                "sample_rate": 16000, "txt": "ok"}]
+    with pytest.raises(ValueError, match="tokenize to one"):
+        list(pk.dynamic_batch(iter(samples), cfg, extract_fn,
+                              _SplitMarkerTokenizer()))
+
+
 @pytest.mark.slow
 def test_train_step_freezes_tokenizer(tiny):
     import optax

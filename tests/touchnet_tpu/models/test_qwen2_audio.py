@@ -166,6 +166,75 @@ def test_dynamic_batch_rejects_multiple_audio_spans():
         list(dynamic_batch(iter(samples), cfg, _FakeFrontend()))
 
 
+def test_dynamic_batch_skips_zero_token_audio():
+    """A degenerate clip whose mel length expands to ZERO <|AUDIO|> tokens
+    ((input_length - 2) // 2 + 1 <= 0 at <= 2 frames) is a data problem —
+    it must be skipped like the length filters, not abort the job."""
+
+    class _TinyClipFrontend(_FakeFrontend):
+        def extract(self, waveform, sample_rate):
+            return np.ones((1, 4), np.float32), np.ones(1, np.int32)
+
+    cfg = DataConfig(dataset_batchsize=1, dataset_text_seqlen=64,
+                     dataloader_drop_last_batch=False)
+    samples = [
+        {"waveform": np.zeros((1, 16), np.float32), "sample_rate": 16000,
+         "txt": "hi"},
+    ]
+    batches = list(dynamic_batch(iter(samples), cfg, _TinyClipFrontend()))
+    assert batches == []
+
+
+def test_qwen2_audio_datapipe_end_to_end(tmp_path):
+    """Drive the REAL runtime surface: scipy wavs -> make_data shards ->
+    qwen2_audio_datapipe (LowLevel -> ManualQwen2AudioFrontend ->
+    dynamic_batch). A 10 ms degenerate clip (1 mel frame -> zero <|AUDIO|>
+    tokens) must be skipped; the 1 s clip must come out as a batch."""
+    import json
+
+    from scipy.io import wavfile
+
+    from touchnet_tpu.bin.make_data import main as make_data_main
+    from touchnet_tpu.models.qwen2_audio.processing_qwen2_audio import (
+        qwen2_audio_datapipe,
+    )
+
+    rng = np.random.default_rng(0)
+    jsonl = tmp_path / "data.jsonl"
+    with open(jsonl, "w") as f:
+        for key, n_samp in [("good", 16000), ("tiny", 160)]:
+            wav = (rng.standard_normal(n_samp) * 5000).astype(np.int16)
+            wavfile.write(tmp_path / f"{key}.wav", 16000, wav)
+            f.write(json.dumps({"key": key, "wav": str(tmp_path / f"{key}.wav"),
+                                "txt": "hi"}) + "\n")
+    save_dir = tmp_path / "shards"
+    make_data_main([
+        "--save_dir", str(save_dir), "--jsonl_path", str(jsonl),
+        "--num_utt_per_shard", "2", "--num_workers", "1",
+        "--datatypes", "audio+metainfo",
+    ])
+
+    cfg = DataConfig(
+        datalist_path=str(save_dir / "data.list"),
+        datalist_shuffling=False, dataset_shuffling=False, datalist_epoch=1,
+        dataset_batchsize=1, dataset_text_seqlen=512,
+        dataloader_drop_last_batch=False, audiofeat_num_mel_bins=32,
+    )
+    class _FakeTokenizer:
+        pad = 0
+        eos = 2
+
+        def tokenize(self, text, add_special_tokens=False):
+            return _FakeFrontend().tokenize(text)
+
+    batches = list(qwen2_audio_datapipe(cfg, _FakeTokenizer(), 0, 1))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["num_sentence"] == 1  # "tiny" skipped, "good" kept
+    assert (b["input_ids"][0] == 60).sum() > 0  # expanded <|AUDIO|> span
+    assert b["input_features"].shape[1] == 32  # [B, mel, T]
+
+
 def test_whisper_features_padding():
     wav = np.zeros(16000, np.float32)  # 1 s
     feats, mask = whisper_features(wav, 16000, n_mels=32)

@@ -51,6 +51,16 @@ def dynamic_batch(data, config: DataConfig, extract_fn, tokenizer):
 
     media_begin = tok("<|im_media_begin|>")
     media_end = tok("<|im_media_end|>")
+    # the model locates the media span by single marker ids
+    # (config.kimia_media_begin/end, modeling_kimi_audio.py:301-308); a
+    # tokenizer that splits either marker into several ids would emit a
+    # stream the model silently cannot find the span in — reject at setup
+    if len(media_begin) != 1 or len(media_end) != 1:
+        raise ValueError(
+            "<|im_media_begin|>/<|im_media_end|> must each tokenize to one "
+            f"id (got {len(media_begin)}/{len(media_end)}); this tokenizer "
+            "cannot drive the Kimi-Audio speech merge"
+        )
 
     def emit():
         pad = tokenizer.pad if tokenizer.pad is not None else 0
@@ -103,17 +113,16 @@ def dynamic_batch(data, config: DataConfig, extract_fn, tokenizer):
         # ONE media span per sample (modeling_kimi_audio.py:301-308); extra
         # markers (e.g. injected via the instruct text) would silently
         # mis-fuse, so reject them loudly
-        if len(media_begin) == 1 and len(media_end) == 1:
-            n_begin = int((audio_input_ids == media_begin[0]).sum())
-            n_end = int((audio_input_ids == media_end[0]).sum())
-            if n_begin != 1 or n_end != 1:
-                raise ValueError(
-                    f"sample {sample.get('key', '<unknown>')!r} expands to "
-                    f"{n_begin} <|im_media_begin|> / {n_end} <|im_media_end|> "
-                    "markers; the TPU speech merge (static cumsum gather) "
-                    "supports exactly one media span per sample — remove "
-                    "extra markers from the instruct/response text"
-                )
+        n_begin = int((audio_input_ids == media_begin[0]).sum())
+        n_end = int((audio_input_ids == media_end[0]).sum())
+        if n_begin != 1 or n_end != 1:
+            raise ValueError(
+                f"sample {sample.get('key', '<unknown>')!r} expands to "
+                f"{n_begin} <|im_media_begin|> / {n_end} <|im_media_end|> "
+                "markers; the TPU speech merge (static cumsum gather) "
+                "supports exactly one media span per sample — remove "
+                "extra markers from the instruct/response text"
+            )
         labels = np.concatenate(
             [np.full(len(text_prompt_ids) - 1, IGNORE_ID, np.int32),
              text_response_ids, eos]

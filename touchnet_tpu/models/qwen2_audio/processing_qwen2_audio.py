@@ -177,15 +177,24 @@ def dynamic_batch(data, config: DataConfig, frontend):
         # masked_scatter handles any number; modeling_qwen2_audio.py:10-14) —
         # a second span (e.g. "<|AUDIO|>" inside the instruct text) would
         # silently consume the same audio's frames, so reject it loudly here
-        if audio_id is not None and count_audio_spans(input_ids, audio_id) != 1:
-            raise ValueError(
-                f"sample {sample.get('key', '<unknown>')!r} expands to "
-                f"{count_audio_spans(input_ids, audio_id)} <|AUDIO|> spans; "
-                "the TPU merge (static cumsum gather) supports exactly one "
-                "audio span per sample — remove extra "
-                f"{frontend.audio_token!r} occurrences from the instruct/"
-                "response text"
-            )
+        if audio_id is not None:
+            n_spans = count_audio_spans(input_ids, audio_id)
+            if n_spans == 0:
+                # degenerate clip (<= ~30 ms expands to zero placeholder
+                # tokens) — a data problem, skipped like the length filters
+                logger.info(
+                    f"sample {sample.get('key', '<unknown>')!r} expands to "
+                    f"0 <|AUDIO|> tokens ({audio_length} mel frames), skip"
+                )
+                continue
+            if n_spans > 1:
+                raise ValueError(
+                    f"sample {sample.get('key', '<unknown>')!r} expands to "
+                    f"{n_spans} <|AUDIO|> spans; the TPU merge (static "
+                    "cumsum gather) supports exactly one audio span per "
+                    f"sample — remove extra {frontend.audio_token!r} "
+                    "occurrences from the instruct/response text"
+                )
         labels = np.concatenate(
             [np.full(len(prompt_ids) - 1, IGNORE_ID, np.int32), response_ids, eos]
         )
