@@ -259,14 +259,17 @@ def test_train_e2e_reduce_bf16_reshard_never_selective_ac(tmp_path):
 
 
 @pytest.mark.slow
-def test_dev_eval_runs_at_ckpt_steps(tmp_path):
+@pytest.mark.parametrize("accum", [1, 2])
+def test_dev_eval_runs_at_ckpt_steps(tmp_path, accum):
     """datalist_dev_path triggers the dev() loop at checkpoint steps
-    (reference train.py:535-536)."""
+    (reference train.py:535-536). accum=2 exercises dev's UNSTACKED batches
+    through _put_batch while training feeds stacked microbatches."""
     listfile = build_corpus(tmp_path)
     argv = make_args(
         tmp_path, listfile, steps=2,
         training_enable_ckpt=True, training_ckpt_interval=2,
         datalist_dev_path=listfile,
+        training_gradient_accumulation_steps=accum,
     )
     trainer = run_trainer(argv)
     assert trainer.step == 2
@@ -380,6 +383,34 @@ def test_batch_nan_guard(tmp_path):
     device_batch, ns = Trainer._put_batch(fake, batch)
     assert device_batch["input_ids"].shape == (n, 8)
     assert float(ns) == 2.0
+
+
+def test_put_batch_dev_specs_ignore_accum():
+    """dev() batches carry NO leading microbatch axis: even with gradient
+    accumulation on, _put_batch(stacked=False) must pick batch_specs (dim 0
+    on dp) — the old accum-gated selection applied microbatch_specs, whose
+    2-D spec P(None, dp) shards the SEQUENCE axis (and, multi-host,
+    assembles the global dev batch along it)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from touchnet_tpu.bin.train import Trainer
+    from touchnet_tpu.parallel.dims import ParallelDims
+
+    n = len(jax.devices())
+    mesh = ParallelDims(
+        dp_replicate=1, dp_shard=n, cp=1, tp=1, pp=1, world_size=n
+    ).build_mesh()
+    fake = SimpleNamespace(mesh=mesh, _accum=2)
+    batch = {"input_ids": np.ones((n, 8), np.int32), "num_sentence": 1}
+    dev_ids = Trainer._put_batch(fake, batch, stacked=False)[0]["input_ids"]
+    assert "dp_shard" in (dev_ids.sharding.spec[0] or ()), dev_ids.sharding
+    # train batches (stacked default) keep dim 0 unsharded, dp on dim 1
+    stacked = {"input_ids": np.ones((2, n, 8), np.int32), "num_sentence": 1}
+    tr_ids = Trainer._put_batch(fake, stacked)[0]["input_ids"]
+    assert tr_ids.sharding.spec[0] is None, tr_ids.sharding
+    assert "dp_shard" in (tr_ids.sharding.spec[1] or ()), tr_ids.sharding
 
 
 def test_sigterm_preemption_checkpoint_and_resume(tmp_path):

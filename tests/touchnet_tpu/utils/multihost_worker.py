@@ -55,6 +55,42 @@ def main():
     ).reshape(-1)
     assert sorted(all_ranks.tolist()) == [0, 1, 2, 3], all_ranks
 
+    # Trainer._put_batch spec selection (regression): dev batches are
+    # UNSTACKED — with gradient accumulation on they must still assemble on
+    # dim 0. The old accum-gated path applied microbatch_specs (P(None, dp)
+    # for 2-D) to them, so make_array_from_process_local_data concatenated
+    # the two processes' SEQUENCE axes into [B_local, 2T] garbage.
+    from types import SimpleNamespace
+
+    from touchnet_tpu.bin.train import Trainer
+
+    fake = SimpleNamespace(
+        mesh=mesh, parallel_dims=pd, _local_dp_ranks=local, _accum=2
+    )
+    dev_batch = {"input_ids": local_rows.astype(np.int32), "num_sentence": 2}
+    dev_global, ns = Trainer._put_batch(fake, dev_batch, stacked=False)
+    dev_ids = dev_global["input_ids"]
+    assert dev_ids.shape == (4, 8), dev_ids.shape
+    # scalar probe (replicated, so fetchable): weighting row means by
+    # [1, 10, 100, 1000] pins BOTH content and global row order
+    probe = float(jax.jit(
+        lambda x: (x.mean(axis=1) * np.array([1.0, 10.0, 100.0, 1000.0])).sum()
+    )(dev_ids))
+    assert probe == 0.0 * 1 + 1 * 10 + 2 * 100 + 3 * 1000, probe
+    assert float(ns) == 2.0, ns
+    # train batches from _AccumBatcher keep the leading microbatch axis
+    # unsharded and assemble the GLOBAL batch on dim 1
+    stacked_local = np.stack([local_rows, local_rows + 10]).astype(np.int32)
+    train_global, _ = Trainer._put_batch(
+        fake, {"input_ids": stacked_local, "num_sentence": 2}
+    )
+    train_ids = train_global["input_ids"]
+    assert train_ids.shape == (2, 4, 8), train_ids.shape
+    tprobe = float(jax.jit(
+        lambda x: (x.mean(axis=(1, 2)) * np.array([1.0, 100.0])).sum()
+    )(train_ids))
+    assert tprobe == 1.5 * 1 + 11.5 * 100, tprobe
+
     print(f"MULTIHOST_OK process={process_id} local_dp_ranks={local}")
 
 

@@ -787,10 +787,16 @@ class Trainer:
         return self._maybe_jit(eval_step)
 
     # ------------------------------------------------------------------
-    def _put_batch(self, batch: Dict[str, Any]):
+    def _put_batch(self, batch: Dict[str, Any], *, stacked: Optional[bool] = None):
         """Host batch -> device arrays sharded (dp, cp). Multi-host: the
         batch holds only this process's dp shards; assemble the global array
-        from process-local data."""
+        from process-local data.
+
+        stacked: whether the batch carries a leading microbatch axis
+        (train batches from _AccumBatcher when accumulation is on). Dev
+        batches are NEVER stacked — they must use batch_specs and scale
+        dim 0, whatever self._accum says."""
+        stacked = (self._accum > 1) if stacked is None else stacked
         arrays = {
             k: batch[k]
             for k in _BATCH_ARRAY_KEYS
@@ -814,7 +820,7 @@ class Trainer:
             scale = self.parallel_dims.dp_degree // max(
                 1, len(self._local_dp_ranks or [])
             )
-            batch_axis = 1 if self._accum > 1 else 0
+            batch_axis = 1 if stacked else 0
             gabstract = {
                 k: jax.ShapeDtypeStruct(
                     a.shape[:batch_axis]
@@ -825,7 +831,7 @@ class Trainer:
                 if a.ndim > batch_axis else jax.ShapeDtypeStruct(a.shape, a.dtype)
                 for k, a in arrays.items()
             }
-            specs = (microbatch_specs if self._accum > 1 else batch_specs)(
+            specs = (microbatch_specs if stacked else batch_specs)(
                 gabstract, self.mesh
             )
             device_batch = jax.tree.map(
@@ -843,7 +849,7 @@ class Trainer:
             # on its fill thread while its peer sat in device_get).
             num_sentence = float(batch.get("num_sentence", 0))
         else:
-            specs = (microbatch_specs if self._accum > 1 else batch_specs)(
+            specs = (microbatch_specs if stacked else batch_specs)(
                 arrays, self.mesh
             )
             device_batch = jax.device_put(arrays, specs)
@@ -1040,7 +1046,7 @@ class Trainer:
                     break
             elif batch is None:
                 break
-            device_batch, num_sentence = self._put_batch(batch)
+            device_batch, num_sentence = self._put_batch(batch, stacked=False)
             num_sentence = self._global_num_sentence(num_sentence)
             m = jax.device_get(
                 self.eval_step_fn(self.params, device_batch, num_sentence)
