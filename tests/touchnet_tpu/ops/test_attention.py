@@ -97,6 +97,61 @@ def test_backward_matches_reference(gqa):
         )
 
 
+@pytest.mark.parametrize("scale_q", [1.0, 4.0])
+def test_bf16_chain_parity_envelope(scale_q):
+    """bf16 inputs route the kernels through the r5 low-precision
+    softmax/ds chain (ops/attention.py _fwd_kernel lp gate) — the ONLY
+    coverage of that branch (every other test here feeds f32, whose chain
+    is exact). The comparison point is the f32 reference evaluated on the
+    SAME bf16-quantized inputs, isolating the chain's own error from input
+    quantization. The chain rounds raw base-2 scores s and lse to bf16, so
+    its error grows with |s| (~|s| * 2^-9 in the exponent), NOT a constant:
+    measured worst-element output error is ~0.011 at |s|~8 (unit-scale
+    q,k) and ~0.092 at |s|~30 (scale_q=4, a sharp late-training head);
+    grads ~1% / ~2.5% mean-relative. The envelopes below pin that
+    measured curve with ~2x headroom; if the chain is ever changed to
+    subtract the running max BEFORE the bf16 cast, they should tighten."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    B, T, H, D = 2, 256, 4, 64
+    q = jax.random.normal(ks[0], (B, T, H, D), jnp.float32) * scale_q
+    k = jax.random.normal(ks[1], (B, T, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, T, H, D), jnp.float32)
+    w = jax.random.normal(ks[3], (B, T, H, D), jnp.float32)
+    seg = np.zeros((B, T), np.int32)
+    seg[:, :100] = 1
+    seg[:, 100:250] = 2
+    seg = jnp.asarray(seg)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    m = (np.asarray(seg) != 0)[..., None, None]
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, seg, causal=True, block_q=128,
+                            block_kv=128, use_pallas=True, interpret=True)
+        return (o.astype(jnp.float32) * w).sum(), o
+
+    def loss_ref(q, k, v):
+        o = packed_attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), seg, causal=True)
+        return (o * w).sum(), o
+
+    (_, got), g_flash = jax.value_and_grad(
+        loss_flash, argnums=(0, 1, 2), has_aux=True)(qb, kb, vb)
+    (_, want), g_ref = jax.value_and_grad(
+        loss_ref, argnums=(0, 1, 2), has_aux=True)(qb, kb, vb)
+
+    fwd_env = 0.03 if scale_q == 1.0 else 0.2
+    fwd_err = np.abs(np.asarray(got, np.float32) * m
+                     - np.asarray(want, np.float32) * m).max()
+    assert fwd_err < fwd_env, (fwd_err, fwd_env)
+
+    grad_env = 0.03 if scale_q == 1.0 else 0.06
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        meanrel = np.abs(a - b).mean() / max(np.abs(b).mean(), 1e-9)
+        assert meanrel < grad_env, (name, meanrel, grad_env)
+
+
 def test_fallback_path_no_pallas():
     q, k, v, seg = make_inputs(jax.random.PRNGKey(4), T=128)
     got = flash_attention(q, k, v, seg, use_pallas=False)

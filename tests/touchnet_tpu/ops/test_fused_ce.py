@@ -107,6 +107,41 @@ def test_bf16_inputs_close():
     np.testing.assert_array_equal(ai, ai_r)
 
 
+def test_bf16_grads_close():
+    """bf16-input grads vs the f32 reference at the SAME quantized inputs.
+    The bwd recompute chain is f32 for all input dtypes: the only bf16
+    error left is dl feeding the two matmuls as bf16, measured ~0.15%
+    mean-relative. (The r5 bf16 recompute chain measured ~2.5% here —
+    raw base-2 logits reach |t2|~80+ and bf16 exponent error grows as
+    |t2| * 2^-9 — and was step-NEUTRAL on chip at V=32k, so it was
+    reverted; this envelope keeps it out.)"""
+    N, E, V = 256, 128, 512
+    h, w, labels = _make(N, E, V, seed=3, dtype=jnp.bfloat16)
+    gl = jax.random.normal(jax.random.PRNGKey(9), (N,), jnp.float32)
+    gt = jax.random.normal(jax.random.PRNGKey(10), (N,), jnp.float32)
+
+    def loss(fn, h, w):
+        lse, tl, _, _ = fn(h, w, labels)
+        return (lse * gl).sum() + (tl * gt).sum()
+
+    g_pal = jax.grad(
+        lambda h, w: loss(
+            lambda *a: fused_ce.fused_ce_rows(*a, interpret=True), h, w
+        ), argnums=(0, 1),
+    )(h, w)
+    g_ref = jax.grad(
+        lambda h, w: loss(
+            lambda *a: fused_ce._rows_reference(
+                a[0].astype(jnp.float32), a[1].astype(jnp.float32), a[2]
+            ), h, w,
+        ), argnums=(0, 1),
+    )(h, w)
+    for a, b, name in zip(g_pal, g_ref, ("dh", "dw")):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        meanrel = np.abs(a - b).mean() / max(np.abs(b).mean(), 1e-9)
+        assert meanrel < 0.003, (name, meanrel)
+
+
 def test_unsupported_shapes_fall_back():
     # E not lane-aligned -> dense reference path, still correct
     N, E, V = 256, 100, 300

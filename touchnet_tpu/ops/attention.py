@@ -324,14 +324,22 @@ def _fwd_kernel_dyn(
         # ([bkv, D] elements) instead of a full [G*bq, bkv] f32 pass on s
         k = k_buf[slot] * jnp.asarray(scale * LOG2E, k_buf.dtype)
         # Low-precision softmax chain (r5), gated on the INPUT dtype: for
-        # bf16 inputs the PV matmul consumes p as bf16 ANYWAY, so running
-        # the max/exp2 chain in bf16 adds only the score-quantization error
-        # (~ln2 * 2^-8, on par with the already-accepted bf16 p rounding)
-        # while the big [G*bq, bkv] VPU passes process half the bytes and
-        # the separate bf16 cast pass disappears (measured -5% fwd at the
-        # bench shape). f32 inputs keep the exact f32 chain (the .astype
-        # calls are no-ops) — same dtype contract the old p.astype(v.dtype)
-        # cast had. The running max/l stay f32 in scratch.
+        # bf16 inputs the PV matmul consumes p as bf16 ANYWAY, so the
+        # max/exp2 chain runs in bf16 — the big [G*bq, bkv] VPU passes
+        # process half the bytes and the separate bf16 cast pass disappears
+        # (measured -5% fwd at the bench shape). Error model: rounding the
+        # RAW base-2 score s to bf16 costs ~|s| * 2^-9 in the exponent, so
+        # the chain's error GROWS with score magnitude — measured
+        # worst-element output error 0.011 at |s|~8 (unit-scale q,k, where
+        # the bf16 INPUT quantization of q/k contributes more) and 0.092 at
+        # |s|~30, a sharp late-training head (input quantization alone:
+        # 0.036). Envelopes pinned by test_bf16_chain_parity_envelope. A
+        # better-bounded variant (subtract the f32 running max BEFORE the
+        # bf16 cast, bounding the rounded quantity by ~ln(1/p)) gives up
+        # the byte savings on the mask/max passes — adopt only with a
+        # step-level chip measurement (docs/performance.md r4 moral). f32
+        # inputs keep the exact f32 chain (the .astype calls are no-ops).
+        # The running max/l stay f32 in scratch.
         lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -833,9 +841,12 @@ def _bwd_fused_kernel_dyn(
         # Low-precision p/ds chain (r5), gated on input dtype like the fwd
         # kernel: for bf16 inputs p feeds bf16 matmuls anyway, so the exp2
         # and ds elementwise passes run in bf16 — half the VPU bytes, and
-        # the separate bf16 casts before the dV/dK/dQ dots disappear
-        # (error on par with the accepted bf16 p rounding; f32 inputs keep
-        # the exact f32 chain)
+        # the separate bf16 casts before the dV/dK/dQ dots disappear.
+        # Rounding raw s and lse to bf16 costs ~|s| * 2^-9 in the exponent
+        # (grows with score magnitude): measured grad error ~1% mean-rel at
+        # |s|~8, ~2.5% at |s|~30 — envelopes pinned by
+        # test_bf16_chain_parity_envelope; see the fwd kernel comment for
+        # the full error model. f32 inputs keep the exact f32 chain.
         lp = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
         sc = (jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32

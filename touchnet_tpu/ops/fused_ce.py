@@ -188,12 +188,16 @@ def _bwd_kernel(
     vi, ri = pl.program_id(0), pl.program_id(1)
     rows = pl.ds(ri * r_blk, r_blk)
 
-    # low-precision recompute chain for bf16 inputs (same dtype gate as the
-    # flash kernels): dl feeds two bf16 matmuls anyway, so the exp2 and fma
-    # passes run in bf16 — half the VPU bytes, no separate cast pass; grads
-    # differ from the f32 chain at the already-accepted bf16-rounding level.
-    # f32 inputs keep the exact f32 chain (tests pin it at 2e-5).
-    lp = jnp.bfloat16 if h_ref.dtype == jnp.bfloat16 else jnp.float32
+    # The recompute chain stays f32 for ALL input dtypes. A bf16 chain (r5,
+    # mirroring the flash kernels' dtype gate) was measured step-NEUTRAL at
+    # V=32k on chip, and rounding the raw base-2 logits t2 to bf16 costs
+    # ~|t2| * 2^-9 in the exponent — CE logits reach |t2|~80+ (E=128 toy
+    # shape; larger at E=1024), a measured ~2.5% mean-relative dh/dw error
+    # (test_bf16_grads_close pins the f32 chain at <0.3%). All error, no
+    # measured win -> reverted. If a larger-vocab measurement ever shows a
+    # real step win, round (t2 - lse2) AFTER the subtract instead: the
+    # rounded quantity is then bounded by ~ln(1/p), not the raw logit.
+    lp = jnp.float32
     t2 = (jax.lax.dot_general(
         h_ref[...], w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
