@@ -863,7 +863,16 @@ class Trainer:
         """Sum the per-process sentence counts (reference dist_sum over
         mesh["dp"], train.py:340-343). MAIN THREAD ONLY: every process must
         issue its collectives in one order from one thread — this runs at
-        batch consumption, strictly alternating with train-step dispatch."""
+        batch consumption, strictly alternating with train-step dispatch.
+
+        Cost note: this is a blocking host-side allgather (a cross-process
+        barrier) per consumed batch. The barrier-free alternative — ride
+        the local count through make_array_from_process_local_data as one
+        more batch array and sum it inside the jitted step — is known and
+        deliberately not taken: the count feeds the loss DIVISOR, so it
+        would change the step signature for a sync that overlaps the
+        host-side dispatch gap anyway (the device is still executing the
+        previous step; single-process runs never reach this path)."""
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from touchnet_tpu.models.common import linear, rms_norm, rope_frequencies
 from touchnet_tpu.models.llama.configuration_llama import LlamaConfig
 from touchnet_tpu.models.llama.modeling_llama import decoder_layer
-from touchnet_tpu.ops.attention import flash_attention
 from touchnet_tpu.parallel.pipeline import (
     make_layer_gather,
     parse_split_points,
@@ -92,39 +91,20 @@ def pipeline_forward(
     cp = mesh.shape.get("cp", 1)
 
     def attn(q, k, v, seg):
-        # inside shard_map: run the local kernel directly (falls back to the
-        # dense reference off-TPU). bthd dynamic-trip kernels: the r4 chip
-        # sweep rejected the grouped-IO layout at step level (see
-        # modeling_llama._default_attn)
-        if cp > 1:
-            # pp x cp: h enters the lockstep loop sequence-sharded on "cp"
-            # (pipeline_apply h_spec), so the stage body runs the same two CP
-            # methods as the non-pp path (parallel/context_parallel.py):
-            # reference composability is touchnet/bin/train.py:354-391 (the
-            # CP context shards buffers per-batch, independent of schedule).
-            if rotate_method == "alltoall":
-                from touchnet_tpu.ops.ring_attention import (
-                    make_ring_attention, ring_attention_jnp,
-                )
+        # inside shard_map: the shared LOCAL-frame CP body (falls back to
+        # the dense reference off-TPU). pp x cp: h enters the lockstep loop
+        # sequence-sharded on "cp" (pipeline_apply h_spec), so the stage
+        # body runs the same two CP methods as the non-pp path —
+        # cp_local_attn is the single definition both paths share.
+        # Reference composability: touchnet/bin/train.py:354-391 (the CP
+        # context shards buffers per-batch, independent of schedule). bthd
+        # dynamic-trip kernels: the r4 chip sweep rejected grouped IO at
+        # step level (see modeling_llama._default_attn).
+        from touchnet_tpu.parallel.context_parallel import cp_local_attn
 
-                if use_pallas:
-                    ring = make_ring_attention(
-                        "cp", cp, block_q=block_q, block_kv=block_kv
-                    )
-                    return ring(q, k, v, seg, seg)
-                return ring_attention_jnp(q, k, v, seg, seg, "cp", cp)
-            k_full = jax.lax.all_gather(k, "cp", axis=1, tiled=True)
-            v_full = jax.lax.all_gather(v, "cp", axis=1, tiled=True)
-            seg_full = jax.lax.all_gather(seg, "cp", axis=1, tiled=True)
-            q_off = jax.lax.axis_index("cp") * q.shape[1]
-            return flash_attention(
-                q, k_full, v_full, seg,
-                kv_segment_ids=seg_full, q_offset=q_off,
-                block_q=block_q, block_kv=block_kv,
-                use_pallas=use_pallas, dynamic=True,
-            )
-        return flash_attention(
-            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+        return cp_local_attn(
+            q, k, v, seg, cp=cp, rotate_method=rotate_method,
+            block_q=block_q, block_kv=block_kv,
             use_pallas=use_pallas, dynamic=True,
         )
 

@@ -27,6 +27,48 @@ from touchnet_tpu.ops.attention import flash_attention
 BATCH = ("dp_replicate", "dp_shard")
 
 
+def cp_local_attn(
+    q, k, v, seg, *, cp: int, rotate_method: str = "allgather",
+    block_q: int = 512, block_kv: int = 512, use_pallas=None,
+    interpret: bool = False, dynamic=None,
+):
+    """LOCAL-frame CP attention: the body every shard_map with an active
+    "cp" axis runs per shard — both make_sharded_attn_fn below and the PP
+    stage body (models/llama/pipeline_llama.py), so a rotation fix lands in
+    one place. q/k/v are this shard's [B, T/cp, H, D] slice; allgather
+    rotation gathers KV (+ kv segment ids) across cp with q_offset keeping
+    global causal positions right; alltoall runs the ring kernel in its
+    nestable form (ring_attention_sharded wraps its OWN shard_map and
+    cannot run inside another one)."""
+    if cp > 1:
+        if rotate_method == "alltoall":
+            from touchnet_tpu.ops.ring_attention import (
+                make_ring_attention,
+                ring_attention_jnp,
+            )
+
+            if use_pallas:
+                ring = make_ring_attention(
+                    "cp", cp, block_q=block_q, block_kv=block_kv
+                )
+                return ring(q, k, v, seg, seg)
+            return ring_attention_jnp(q, k, v, seg, seg, "cp", cp)
+        k_full = jax.lax.all_gather(k, "cp", axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, "cp", axis=1, tiled=True)
+        seg_full = jax.lax.all_gather(seg, "cp", axis=1, tiled=True)
+        q_off = jax.lax.axis_index("cp") * q.shape[1]
+        return flash_attention(
+            q, k_full, v_full, seg,
+            kv_segment_ids=seg_full, q_offset=q_off,
+            block_q=block_q, block_kv=block_kv,
+            use_pallas=use_pallas, interpret=interpret, dynamic=dynamic,
+        )
+    return flash_attention(
+        q, k, v, seg, block_q=block_q, block_kv=block_kv,
+        use_pallas=use_pallas, interpret=interpret, dynamic=dynamic,
+    )
+
+
 def make_sharded_attn_fn(
     mesh: Optional[Mesh],
     block_q: int = 512,
@@ -85,21 +127,9 @@ def make_sharded_attn_fn(
         check_vma=False,
     )
     def attn(q, k, v, seg):
-        if cp > 1:
-            # allgather rotation: KV (and kv segment ids) gathered across cp,
-            # Q stays sharded; q_offset keeps global causal positions right.
-            k_full = jax.lax.all_gather(k, "cp", axis=1, tiled=True)
-            v_full = jax.lax.all_gather(v, "cp", axis=1, tiled=True)
-            seg_full = jax.lax.all_gather(seg, "cp", axis=1, tiled=True)
-            q_off = jax.lax.axis_index("cp") * q.shape[1]
-            return flash_attention(
-                q, k_full, v_full, seg,
-                kv_segment_ids=seg_full, q_offset=q_off,
-                block_q=block_q, block_kv=block_kv,
-                use_pallas=use_pallas, interpret=interpret,
-            )
-        return flash_attention(
-            q, k, v, seg, block_q=block_q, block_kv=block_kv,
+        return cp_local_attn(
+            q, k, v, seg, cp=cp, rotate_method="allgather",
+            block_q=block_q, block_kv=block_kv,
             use_pallas=use_pallas, interpret=interpret,
         )
 
