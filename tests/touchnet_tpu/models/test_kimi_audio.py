@@ -237,6 +237,48 @@ def test_dynamic_batch_rejects_multiple_media_spans(monkeypatch):
         list(pk.dynamic_batch(iter(samples), cfg, extract_fn, tok))
 
 
+def test_kimi_audio_datapipe_end_to_end(tmp_path):
+    """Drive the REAL runtime surface: scipy wavs -> make_data shards ->
+    kimi_audio_datapipe (LowLevel -> whisper_features -> dynamic_batch) —
+    the dual-stream batch comes out of the same builder build_dataloader
+    dispatches to (data/dataloader.py)."""
+    import json
+
+    from scipy.io import wavfile
+
+    from touchnet_tpu.bin.make_data import main as make_data_main
+    from touchnet_tpu.models.kimi_audio.processing_kimi_audio import (
+        kimi_audio_datapipe,
+    )
+
+    rng = np.random.default_rng(0)
+    jsonl = tmp_path / "data.jsonl"
+    with open(jsonl, "w") as f:
+        wav = (rng.standard_normal(16000) * 5000).astype(np.int16)
+        wavfile.write(tmp_path / "utt0.wav", 16000, wav)
+        f.write(json.dumps({"key": "utt0", "wav": str(tmp_path / "utt0.wav"),
+                            "txt": "ok"}) + "\n")
+    save_dir = tmp_path / "shards"
+    make_data_main([
+        "--save_dir", str(save_dir), "--jsonl_path", str(jsonl),
+        "--num_utt_per_shard", "2", "--num_workers", "1",
+        "--datatypes", "audio+metainfo",
+    ])
+
+    cfg = DataConfig(
+        datalist_path=str(save_dir / "data.list"),
+        datalist_shuffling=False, dataset_shuffling=False, datalist_epoch=1,
+        dataset_batchsize=1, dataset_text_seqlen=4096,
+        dataloader_drop_last_batch=False, audiofeat_num_mel_bins=16,
+    )
+    batches = list(kimi_audio_datapipe(cfg, _FakeKimiTokenizer(), 0, 1))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["text_input_ids"].shape == b["audio_input_ids"].shape
+    assert (b["audio_input_ids"][0] == 200).sum() == 1  # one media span
+    assert b["whisper_input_features"].shape[1] == 16  # [B, mel, T]
+
+
 def test_dynamic_batch_rejects_multi_id_media_markers():
     """A tokenizer that splits <|im_media_begin|>/<|im_media_end|> into
     several ids can never emit the single marker ids the model's span
